@@ -1,0 +1,31 @@
+"""ltetrigger_tpu: a TPU-native LTE cell-sensing framework.
+
+A from-scratch re-design of the capabilities of NTIA/gr-ltetrigger for
+JAX/XLA/Pallas on TPU: PSS/SSS synchronization, PBCH/MIB decode, tracked-cell
+store, CLI, and multi-chip scaling — with the reference's thread-per-block
+GNU Radio graph replaced by fixed-shape batched array programs.
+
+Layers (bottom-up):
+  ltecore/   pure LTE signal math (numpy constants + host reference receiver)
+  ops/       jitted TPU kernels (correlators, OFDM, chest, Viterbi, resampler)
+  models/    the flagship "downlink trigger" detection pipeline (lax.scan)
+  parallel/  mesh / shard_map multi-channel + multi-chip scaling
+  runtime/   host streaming driver, cellstore, IO frontends (incl. native C++)
+  apps/      cell_search_file-compatible CLI
+"""
+
+__version__ = "0.1.0"
+
+from .ltecore import constants  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy imports keep `import ltetrigger_tpu` fast and jax-optional for
+    # pure-numpy users of ltecore.
+    if name in ("search", "Trigger"):
+        from .models import api
+        return getattr(api, name)
+    if name == "CellStore":
+        from .runtime.cellstore import CellStore
+        return CellStore
+    raise AttributeError(name)
