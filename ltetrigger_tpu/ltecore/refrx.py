@@ -53,12 +53,23 @@ def pss_correlate(window: np.ndarray, n_id_2: int) -> np.ndarray:
     return np.abs(c) ** 2
 
 
-def peak_and_psr(power: np.ndarray, guard: int = 64):
-    """(peak_index, psr): peak vs max sidelobe outside +-guard."""
+def peak_and_psr(power: np.ndarray, lobe_limit: int = 64):
+    """(peak_index, psr): peak vs max sidelobe outside the main lobe.
+
+    srsLTE semantics (compute_peak_sidelobe): walk down each side of the peak
+    until the first rise (bounded by lobe_limit); sidelobe = max outside.
+    """
+    n = len(power)
     pk = int(np.argmax(power))
-    mask = np.ones(len(power), dtype=bool)
-    mask[max(0, pk - guard):pk + guard + 1] = False
-    side = power[mask].max()
+    r = pk
+    while r + 1 < n and r - pk < lobe_limit and power[r + 1] <= power[r]:
+        r += 1
+    l = pk
+    while l - 1 >= 0 and pk - l < lobe_limit and power[l - 1] <= power[l]:
+        l -= 1
+    mask = np.ones(n, dtype=bool)
+    mask[l:r + 1] = False
+    side = power[mask].max() if mask.any() else 1e-30
     return pk, float(power[pk] / max(side, 1e-30))
 
 

@@ -1,0 +1,285 @@
+"""Jitted PBCH/MIB decoder.
+
+Replaces the whole srslte_ue_mib_decode chain (reference lib/mib_impl.cc:162
+— OFDM demod, CRS channel estimation, PBCH demod, descrambling, rate
+dematching, Viterbi, CRC/port search, MIB unpack) with one fixed-shape
+array program:
+
+  * cell_id is a *traced* value (it comes from SSS at runtime), so every
+    cell-dependent sequence is computed on device: Gold scrambling and CRS
+    pilots are GF(2) matmuls against precomputed generator matrices
+    (ltecore/scrambling.py), CRS/PBCH resource positions are arithmetic in
+    v_shift.
+  * both CP hypotheses, all 3 TX-port-count hypotheses, and all 4 scrambling
+    quarters are evaluated unconditionally as batch dimensions; CRC (itself a
+    linear GF(2) map) selects the winner.  No data-dependent control flow.
+  * rate dematching is a static one-hot matmul (480x120 per quarter).
+
+The reference resets PBCH soft-combining every half-frame
+(srslte_pbch_decode_reset, lib/mib_impl.cc:161) so decode is stateless per
+subframe — which is exactly what a fixed-shape TPU program wants.
+"""
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ltecore import coding, scrambling
+from ..ltecore.constants import (CP_EXT, CP_NORM, NOF_PRB_TABLE, SLOT_LENGTH,
+                                 SYMBOL_SZ, symbol_data_offsets)
+from .viterbi import viterbi_decode_tb
+
+N_RB_MAX = 110
+E_BITS = {True: 480, False: 432}
+
+
+# --------------------------------------------------------------- static maps
+@functools.lru_cache(maxsize=None)
+def _gold_mats(length: int):
+    G, x1c = scrambling.gold_matrix(length)
+    return G.astype(np.float32), x1c.astype(np.float32)
+
+
+def _gold_signs(c_init, length: int) -> jnp.ndarray:
+    """(+1/-1)^c(n) for a traced c_init: one [length,31] matmul + parity."""
+    G, x1c = _gold_mats(length)
+    bits = ((c_init >> jnp.arange(31)) & 1).astype(jnp.float32)
+    c = jnp.mod(jnp.asarray(G) @ bits + jnp.asarray(x1c), 2.0)
+    return 1.0 - 2.0 * c
+
+
+@functools.lru_cache(maxsize=None)
+def _dematch_onehot(normal_cp: bool) -> np.ndarray:
+    """[4, e_bits, 120] one-hot scatter matrices, one per quarter."""
+    e = E_BITS[normal_cp]
+    m = coding.ratematch_map(40, 4 * e)
+    out = np.zeros((4, e, 120), dtype=np.float32)
+    for q in range(4):
+        seg = m[q * e:(q + 1) * e]
+        out[q, np.arange(e), seg] = 1.0
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _crc_matrix() -> np.ndarray:
+    """[16, 24] GF(2) matrix: crc16(payload) = C @ payload mod 2."""
+    C = np.zeros((16, 24), dtype=np.float32)
+    for i in range(24):
+        b = np.zeros(24, dtype=np.uint8)
+        b[i] = 1
+        C[:, i] = coding.crc16(b)
+    return C
+
+
+@functools.lru_cache(maxsize=None)
+def _crc_masks() -> np.ndarray:
+    """[3, 16] port masks for 1/2/4 ports."""
+    out = np.zeros((3, 16), dtype=np.float32)
+    for row, ports in enumerate(coding.PORT_HYPOTHESES):
+        mask = coding.CRC_MASKS[ports]
+        out[row] = [(mask >> (15 - i)) & 1 for i in range(16)]
+    return out
+
+
+# ------------------------------------------------------------------- OFDM --
+def ofdm_demod_slot(slot: jnp.ndarray, normal_cp: bool) -> jnp.ndarray:
+    """[..., 960] -> [..., nsym, 72] (6 PRB centered, DC dropped)."""
+    offs = symbol_data_offsets(normal_cp)
+    wins = jnp.stack([slot[..., o:o + SYMBOL_SZ] for o in offs], axis=-2)
+    F = jnp.fft.fft(wins, axis=-1)
+    return jnp.concatenate([F[..., SYMBOL_SZ - 36:], F[..., 1:37]], axis=-1)
+
+
+# ------------------------------------------------------------------ chest --
+def _crs_pilots(cell_id, slot_no: int, sym: int, normal_cp: bool):
+    """[..., 12] complex pilots for the centered 6 PRB (traced cell_id)."""
+    c_init = scrambling.crs_c_init(cell_id, slot_no, sym, normal_cp)
+    signs = _gold_signs(c_init, 4 * N_RB_MAX)         # [..., 440]
+    m = jnp.arange(12) + (N_RB_MAX - 6)
+    re = jnp.take(signs, 2 * m, axis=-1)
+    im = jnp.take(signs, 2 * m + 1, axis=-1)
+    return ((re + 1j * im) / np.sqrt(2.0)).astype(jnp.complex64)
+
+
+def _crs_v(port: int, sym: int, slot_no: int) -> int:
+    if port == 0:
+        return 0 if sym == 0 else 3
+    if port == 1:
+        return 3 if sym == 0 else 0
+    if port == 2:
+        return 3 * (slot_no % 2)
+    return 3 + 3 * (slot_no % 2)
+
+
+def _chest_port(slot_syms, cell_id, slot_no: int, port: int,
+                normal_cp: bool) -> jnp.ndarray:
+    """[..., 72] averaged LS estimate with linear freq interpolation."""
+    if port in (0, 1):
+        crs_syms = (0, 4) if normal_cp else (0, 3)
+    else:
+        crs_syms = (1,)
+    v_shift = jnp.mod(cell_id, 6)
+    acc = jnp.zeros(slot_syms.shape[:-2] + (72,), dtype=jnp.complex64)
+    for sym in crs_syms:
+        pil = _crs_pilots(cell_id, slot_no, sym, normal_cp)
+        k0 = jnp.mod(_crs_v(port, sym, slot_no) + v_shift, 6)
+        k = k0[..., None] + 6 * jnp.arange(12)                 # [..., 12]
+        h_ls = jnp.take_along_axis(slot_syms[..., sym, :], k, axis=-1) \
+            / pil
+        # linear interp to all 72 subcarriers, flat extrapolation at edges
+        j = jnp.arange(72)
+        t = (j - k0[..., None]) / 6.0                          # [..., 72]
+        mfloor = jnp.clip(jnp.floor(t), 0, 10).astype(jnp.int32)
+        frac = jnp.clip(t - mfloor, 0.0, 1.0).astype(jnp.float32)
+        h_lo = jnp.take_along_axis(h_ls, mfloor, axis=-1)
+        h_hi = jnp.take_along_axis(h_ls, jnp.minimum(mfloor + 1, 11), axis=-1)
+        acc = acc + h_lo * (1 - frac) + h_hi * frac
+    return acc / len(crs_syms)
+
+
+# ------------------------------------------------------- PBCH RE gathering --
+def _pbch_gather_indices(v_shift, normal_cp: bool):
+    """(l_idx, k_idx) traced int arrays of static length (240 or 216).
+
+    Frequency-first order.  For CRS-reserved symbols only k % 3 != v3 are
+    used: k_j = 3*(j//2) + (a if j even else b) with {a,b} = {0,1,2}\\{v3}.
+    """
+    v3 = jnp.mod(v_shift, 3)
+    a = jnp.where(v3 == 0, 1, 0)
+    b = jnp.where(v3 == 2, 1, 2)
+    j = jnp.arange(48)
+    k_res = 3 * (j // 2) + jnp.where(j % 2 == 0, a, b)         # [48]
+    k_full = jnp.arange(72)
+    crs_syms = (0, 1) if normal_cp else (0, 1, 3)
+    ls, ks = [], []
+    for l in range(4):
+        k = k_res if l in crs_syms else k_full
+        ks.append(k.astype(jnp.int32))
+        ls.append(jnp.full(k.shape, l, dtype=jnp.int32))
+    return jnp.concatenate(ls), jnp.concatenate(ks)
+
+
+# ---------------------------------------------------------------- equalize --
+def _equalize(y, h, nof_ports: int):
+    """[..., E] received REs + per-port [..., 4, E] channel -> symbols."""
+    if nof_ports == 1:
+        h0 = h[..., 0, :]
+        return y * jnp.conj(h0) / (jnp.abs(h0) ** 2 + 1e-12)
+    if nof_ports == 2:
+        return _sfbc(y, h[..., 0, :], h[..., 1, :])
+    # 4 ports: SFBC-FSTD on groups of 4; pairs (0,2) then (1,3)
+    sh = y.shape[:-1]
+    e = y.shape[-1]
+    yg = y.reshape(sh + (e // 4, 4))
+    hg = h.reshape(sh + (4, e // 4, 4))
+    d02 = _sfbc(yg[..., :2].reshape(sh + (e // 2,)),
+                hg[..., 0, :, :2].reshape(sh + (e // 2,)),
+                hg[..., 2, :, :2].reshape(sh + (e // 2,)))
+    d13 = _sfbc(yg[..., 2:].reshape(sh + (e // 2,)),
+                hg[..., 1, :, 2:].reshape(sh + (e // 2,)),
+                hg[..., 3, :, 2:].reshape(sh + (e // 2,)))
+    out = jnp.stack([d02.reshape(sh + (e // 4, 2)),
+                     d13.reshape(sh + (e // 4, 2))], axis=-2)
+    return out.reshape(sh + (e,))
+
+
+def _sfbc(y, g0, g1):
+    """Alamouti SFBC decode over adjacent RE pairs."""
+    y0, y1 = y[..., 0::2], y[..., 1::2]
+    a0, a1 = g0[..., 0::2], g1[..., 0::2]
+    den = jnp.abs(a0) ** 2 + jnp.abs(a1) ** 2 + 1e-12
+    x0 = (jnp.conj(a0) * y0 + a1 * jnp.conj(y1)) / den
+    x1 = (jnp.conj(a0) * y1 - a1 * jnp.conj(y0)) / den
+    out = jnp.stack([x0, x1], axis=-1)
+    return out.reshape(y.shape)
+
+
+# ------------------------------------------------------------- full decode --
+def _decode_cp(subframe, cell_id, normal_cp: bool):
+    """One CP hypothesis. -> dict of [12]-batched results (3 ports x 4 qtr)."""
+    slot1 = ofdm_demod_slot(subframe[SLOT_LENGTH:2 * SLOT_LENGTH], normal_cp)
+    v_shift = jnp.mod(cell_id, 6)
+    l_idx, k_idx = _pbch_gather_indices(v_shift, normal_cp)
+    y = slot1[l_idx, k_idx]                                    # [E]
+    h = jnp.stack([_chest_port(slot1, cell_id, 1, p, normal_cp)[k_idx]
+                   for p in range(4)])                         # [4, E]
+
+    e_bits = E_BITS[normal_cp]
+    d_hyp = jnp.stack([_equalize(y, h, p) for p in (1, 2, 4)])  # [3, E]
+    llr = jnp.stack([d_hyp.real, d_hyp.imag], axis=-1).reshape(3, e_bits)
+
+    signs = _gold_signs(scrambling.pbch_c_init(cell_id), 4 * e_bits)
+    signs_q = signs.reshape(4, e_bits)                          # [4, e]
+    M = jnp.asarray(_dematch_onehot(normal_cp))                 # [4, e, 120]
+    # [3 ports, 4 quarters, 120]
+    acc = jnp.einsum("pe,qe,qek->pqk", llr, signs_q, M)
+    # 120 accumulated LLRs are stream-major [d0(40), d1(40), d2(40)];
+    # the trellis consumes step-major triplets [40, 3].
+    r = jnp.transpose(acc.reshape(3, 4, 3, 40), (0, 1, 3, 2)).reshape(12, 40, 3)
+
+    bits, metric = viterbi_decode_tb(r)                         # [12, 40]
+
+    C = jnp.asarray(_crc_matrix())                              # [16, 24]
+    masks = jnp.asarray(_crc_masks())                           # [3, 16]
+    payload = bits[:, :24].astype(jnp.float32)
+    crc_calc = jnp.mod(payload @ C.T, 2.0)
+    expect = jnp.mod(crc_calc + jnp.repeat(masks, 4, axis=0), 2.0)
+    crc_ok = jnp.all(expect.astype(jnp.int32) == bits[:, 24:], axis=-1)
+
+    return {"bits": bits, "crc_ok": crc_ok, "metric": metric}
+
+
+def _unpack_fields(bits):
+    """[..., 24] payload bits -> traced MIB fields."""
+    bw = bits[..., 0] * 4 + bits[..., 1] * 2 + bits[..., 2]
+    prb_tab = jnp.asarray(list(NOF_PRB_TABLE) + [0, 0], dtype=jnp.int32)
+    nof_prb = prb_tab[jnp.clip(bw, 0, 7)]
+    phich_ext = bits[..., 3]
+    phich_res = bits[..., 4] * 2 + bits[..., 5]
+    sfn = jnp.zeros(bits.shape[:-1], dtype=jnp.int32)
+    for i in range(8):
+        sfn = (sfn << 1) | bits[..., 6 + i]
+    return {"nof_prb": nof_prb.astype(jnp.int32),
+            "bw_valid": (bw < 6),
+            "phich_ext": phich_ext.astype(jnp.int32),
+            "phich_res": phich_res.astype(jnp.int32),
+            "sfn_offset": (sfn << 2).astype(jnp.int32)}
+
+
+def mib_decode(subframe: jnp.ndarray, cell_id: jnp.ndarray,
+               normal_cp: jnp.ndarray):
+    """Stateless single-subframe MIB decode attempt.
+
+    subframe:  [1920] complex64 (aligned: subframe 0 candidate)
+    cell_id:   int32 traced
+    normal_cp: bool traced (selects which CP hypothesis's result is reported)
+
+    returns dict of scalars:
+      found (bool), nof_prb, nof_ports, phich_ext, phich_res, sfn_offset,
+      quarter, metric
+    """
+    res_n = _decode_cp(subframe, cell_id, True)
+    res_e = _decode_cp(subframe, cell_id, False)
+    # scalar bool condition broadcasts against any result shape
+    res = {k: jnp.where(normal_cp, res_n[k], res_e[k]) for k in res_n}
+
+    fields = _unpack_fields(res["bits"][:, :24])
+    ok = res["crc_ok"] & fields["bw_valid"]
+    # first-hit priority in (ports, quarter) order, like srsLTE's search loop
+    prio = jnp.where(ok, jnp.arange(12, 0, -1), 0)
+    best = jnp.argmax(prio).astype(jnp.int32)
+    found = jnp.any(ok)
+
+    ports_tab = jnp.asarray([1, 1, 1, 1, 2, 2, 2, 2, 4, 4, 4, 4],
+                            dtype=jnp.int32)
+    return {
+        "found": found,
+        "nof_prb": fields["nof_prb"][best],
+        "nof_ports": ports_tab[best],
+        "phich_ext": fields["phich_ext"][best],
+        "phich_res": fields["phich_res"][best],
+        "sfn_offset": fields["sfn_offset"][best],
+        "quarter": jnp.mod(best, 4),
+        "metric": res["metric"][best],
+    }

@@ -2,18 +2,22 @@
 
 Tests run on CPU with 8 virtual XLA devices so the multi-chip sharding paths
 are exercised without TPU hardware (the TPU-world analogue of the reference's
-'no multi-node tests possible' gap — SURVEY.md §4).  Must be set before jax
-is imported anywhere.
+'no multi-node tests possible' gap — SURVEY.md §4).
+
+The environment pins JAX_PLATFORMS=axon and a sitecustomize hook imports jax
+at interpreter start, so env vars in conftest are too late; instead we flip
+the (lazily-initialized) backend via jax.config before any device is touched.
 """
 
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

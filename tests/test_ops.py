@@ -1,0 +1,170 @@
+"""Golden tests: every jitted op against the host reference receiver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltetrigger_tpu.ltecore import refrx, synth
+from ltetrigger_tpu.ltecore.constants import (HALF_FRAME_LENGTH,
+                                              PSS_SYMBOL_START, SYMBOL_SZ)
+from ltetrigger_tpu.ops import cfo as cfo_ops
+from ltetrigger_tpu.ops import correlate, pbch, resample, sync
+from tests.conftest import load_frame
+
+
+@pytest.fixture(scope="module")
+def frame6():
+    iq, cell_id, _ = load_frame(6)
+    return iq.astype(np.complex64), cell_id
+
+
+class TestCorrelate:
+    def test_power_matches_reference(self, frame6):
+        iq, _ = frame6
+        win = np.concatenate([iq, iq])[:correlate.WINDOW_LEN]
+        got = np.asarray(jax.jit(correlate.pss_correlate_power)(jnp.asarray(win)))
+        for nid2 in range(3):
+            ref = refrx.pss_correlate(win.astype(np.complex128), nid2)
+            np.testing.assert_allclose(got[nid2], ref, rtol=2e-3, atol=1e-4)
+
+    def test_peak_psr_matches_reference(self, frame6):
+        iq, _ = frame6
+        win = np.concatenate([iq, iq])[:correlate.WINDOW_LEN]
+        power = jax.jit(correlate.pss_correlate_power)(jnp.asarray(win))
+        peaks, psrs = jax.jit(correlate.peak_and_psr)(power)
+        for nid2 in range(3):
+            ref_pk, ref_psr = refrx.peak_and_psr(np.asarray(power[nid2]))
+            assert int(peaks[nid2]) == ref_pk
+            np.testing.assert_allclose(float(psrs[nid2]), ref_psr, rtol=1e-4)
+
+    def test_batched(self, frame6):
+        iq, _ = frame6
+        win = np.concatenate([iq, iq])[:correlate.WINDOW_LEN]
+        batch = jnp.stack([jnp.asarray(win)] * 4)
+        p = jax.jit(correlate.pss_correlate_power)(batch)
+        assert p.shape == (4, 3, HALF_FRAME_LENGTH)
+        np.testing.assert_allclose(p[0], p[3], rtol=1e-6)
+
+
+class TestCfo:
+    def test_estimate_recovers_injected_offset(self):
+        from ltetrigger_tpu.ltecore import pss as pssmod
+        rep = pssmod.pss_time()[1].astype(np.complex64)
+        # unambiguous estimator range is (-1, 1) subcarrier spacings
+        # (phase over a half symbol), matching srsLTE
+        for cfo_true in (-0.9, -0.25, 0.0, 0.4, 0.9):
+            n = np.arange(SYMBOL_SZ)
+            rx = rep * np.exp(2j * np.pi * cfo_true / SYMBOL_SZ * n)
+            est = cfo_ops.cfo_estimate(jnp.asarray(rx.astype(np.complex64)),
+                                       jnp.asarray(rep))
+            assert abs(float(est) - cfo_true) < 0.02
+
+    def test_correct_inverts_offset(self):
+        from ltetrigger_tpu.ltecore import pss as pssmod
+        rep = pssmod.pss_time()[0].astype(np.complex64)
+        n = np.arange(SYMBOL_SZ)
+        cfo_true = 0.8
+        rx = rep * np.exp(2j * np.pi * cfo_true / SYMBOL_SZ * n)
+        fixed = cfo_ops.cfo_correct(jnp.asarray(rx.astype(np.complex64)),
+                                    jnp.asarray(-cfo_true / SYMBOL_SZ))
+        np.testing.assert_allclose(np.asarray(fixed), rep, atol=1e-5)
+
+
+class TestSync:
+    def test_cp_detect_matches_reference(self, frame6):
+        iq, _ = frame6
+        aligned = iq[:HALF_FRAME_LENGTH]
+        got = bool(jax.jit(sync.detect_cp)(jnp.asarray(aligned)))
+        assert got == refrx.detect_cp(aligned.astype(np.complex128))
+        assert got is True
+
+    def test_cp_detect_extended(self):
+        f = synth.synthesize_frame(300, nof_prb_field=25, normal_cp=False)
+        aligned = f[:HALF_FRAME_LENGTH].astype(np.complex64)
+        assert not bool(sync.detect_cp(jnp.asarray(aligned)))
+
+    def test_sss_on_capture(self, frame6):
+        iq, cell_id = frame6
+        aligned = jnp.asarray(iq[:HALF_FRAME_LENGTH])
+        nid1, sub5 = jax.jit(sync.sss_decode)(
+            aligned, jnp.int32(cell_id % 3), jnp.bool_(True))
+        assert int(nid1) == cell_id // 3
+        assert not bool(sub5)
+
+    def test_sss_subframe5(self, frame6):
+        iq, cell_id = frame6
+        aligned = jnp.asarray(iq[HALF_FRAME_LENGTH:])
+        nid1, sub5 = sync.sss_decode(aligned, jnp.int32(cell_id % 3),
+                                     jnp.bool_(True))
+        assert int(nid1) == cell_id // 3
+        assert bool(sub5)
+
+    def test_sss_batched_roots(self, frame6):
+        iq, cell_id = frame6
+        aligned = jnp.stack([jnp.asarray(iq[:HALF_FRAME_LENGTH])] * 3)
+        nid1, _ = jax.vmap(sync.sss_decode)(
+            aligned, jnp.arange(3, dtype=jnp.int32),
+            jnp.ones(3, dtype=bool))
+        assert int(nid1[cell_id % 3]) == cell_id // 3
+
+
+class TestResample:
+    @pytest.mark.parametrize("nof_prb", [25, 50, 100])
+    def test_matches_reference(self, nof_prb):
+        iq, _, rate = load_frame(nof_prb)
+        ratio = int(rate / 1.92e6)
+        x = iq[:ratio * 4096]
+        got = np.asarray(resample.decimate(jnp.asarray(x), ratio))
+        ref = refrx.decimate(x.astype(np.complex128), ratio)
+        np.testing.assert_allclose(got, ref.astype(np.complex64),
+                                   rtol=2e-3, atol=2e-3)
+
+
+class TestPbch:
+    def test_decodes_capture(self, frame6):
+        iq, cell_id = frame6
+        out = jax.jit(pbch.mib_decode)(
+            jnp.asarray(iq[:1920]), jnp.int32(cell_id), jnp.bool_(True))
+        assert bool(out["found"])
+        assert int(out["nof_prb"]) == 6
+        assert int(out["nof_ports"]) == 1
+        assert int(out["phich_ext"]) == 0
+        assert int(out["phich_res"]) == 2   # "1"
+        assert int(out["quarter"]) == 0
+
+    def test_wrong_cell_id_no_false_positive(self, frame6):
+        iq, cell_id = frame6
+        out = pbch.mib_decode(jnp.asarray(iq[:1920]),
+                              jnp.int32(cell_id + 1), jnp.bool_(True))
+        assert not bool(out["found"])
+
+    def test_subframe5_no_decode(self, frame6):
+        iq, cell_id = frame6
+        out = pbch.mib_decode(jnp.asarray(iq[9600:9600 + 1920]),
+                              jnp.int32(cell_id), jnp.bool_(True))
+        assert not bool(out["found"])
+
+    @pytest.mark.parametrize("nof_ports,normal_cp,quarter", [
+        (1, True, 0), (2, True, 1), (4, True, 3),
+        (1, False, 2), (2, False, 0), (4, False, 1),
+    ])
+    def test_synthetic_configs(self, nof_ports, normal_cp, quarter):
+        cell_id = 451
+        sf = synth.synthesize_pbch_subframe(
+            cell_id, nof_prb_field=75, quarter=quarter,
+            nof_ports=nof_ports, normal_cp=normal_cp).astype(np.complex64)
+        out = pbch.mib_decode(jnp.asarray(sf), jnp.int32(cell_id),
+                              jnp.bool_(normal_cp))
+        assert bool(out["found"])
+        assert int(out["nof_prb"]) == 75
+        assert int(out["nof_ports"]) == nof_ports
+        assert int(out["quarter"]) == quarter
+
+    def test_noise_rejected(self):
+        rng = np.random.default_rng(7)
+        noise = (rng.normal(size=1920) + 1j * rng.normal(size=1920)) \
+            .astype(np.complex64)
+        out = pbch.mib_decode(jnp.asarray(noise), jnp.int32(123),
+                              jnp.bool_(True))
+        assert not bool(out["found"])
