@@ -1,0 +1,231 @@
+"""High-level detection API: one-shot `search` and the streaming `Trigger`.
+
+This is the layer a reference user lands on: `search(iq, fs)` replaces
+building a cell_search_file flowgraph; `Trigger` replaces the
+downlink_trigger_c hier block (python/downlink_trigger_c.py) including its
+telemetry surface (max_psr / mean_psr / mean_cfo / tracking_score /
+set_psr_threshold, reference lib/pss_impl.h:95-100) and the track/drop event
+protocol into a CellStore.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ltecore.constants import (DEFAULT_PSR_THRESHOLD, DEFAULT_TRACK_AFTER,
+                                 DEFAULT_TRACK_EVERY, HALF_FRAME_LENGTH,
+                                 MIN_PSR_THRESHOLD, MOVING_AVG_SZ,
+                                 SAMPLE_RATE)
+from ..ops import resample
+from ..runtime.cellstore import Cell, CellStore, cell_from_step
+from . import trigger as trig
+
+LOOKBACK = trig.LOOKBACK
+WINDOW = trig.WINDOW
+
+
+def ensure_safe_threshold(t: float) -> float:
+    """Clamp to MIN_PSR_THRESHOLD (parity: downlink_trigger_c.py:10,71-73)."""
+    return t if t > MIN_PSR_THRESHOLD else MIN_PSR_THRESHOLD
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "track_after",
+                                             "track_every"))
+def _scan_jit(buffer, state, psr_threshold, n_valid, n_steps,
+              track_after, track_every):
+    return trig.scan_engine(buffer, state, n_steps, psr_threshold,
+                            track_after, track_every, n_valid=n_valid)
+
+
+def _prepare_buffer(iq: np.ndarray, sample_rate: float,
+                    repeat_to: Optional[int] = None) -> jnp.ndarray:
+    """Decimate to 1.92 Msps on device, loop to `repeat_to` samples, pad."""
+    ratio = sample_rate / SAMPLE_RATE
+    if abs(ratio - round(ratio)) > 1e-9:
+        raise ValueError(
+            f"Sample rate {sample_rate/1e6:.2f} MHz is not a multiple of "
+            "1.92 MHz. Arbitrary resampling not supported at this time.")
+    ratio = int(round(ratio))
+    x = jnp.asarray(np.ascontiguousarray(iq), dtype=jnp.complex64)
+    x = resample.decimate(x, ratio)
+    n = x.shape[0]
+    if repeat_to is not None and repeat_to > n:
+        reps = -(-repeat_to // n)
+        x = jnp.tile(x, reps)[:repeat_to]
+    head = jnp.zeros((LOOKBACK,), dtype=jnp.complex64)
+    tail = jnp.zeros((WINDOW,), dtype=jnp.complex64)
+    return jnp.concatenate([head, x, tail])
+
+
+def search(iq: np.ndarray, sample_rate: float,
+           psr_threshold: float = DEFAULT_PSR_THRESHOLD,
+           exit_on_success: bool = True,
+           max_seconds: float = 1.0,
+           track_after: int = DEFAULT_TRACK_AFTER,
+           track_every: int = DEFAULT_TRACK_EVERY,
+           cellstore: Optional[CellStore] = None,
+           chunk_steps: int = 25) -> list[Cell]:
+    """One-shot cell search over a capture (looped to `max_seconds`).
+
+    Equivalent flow to examples/cell_search_file.py: resample -> trigger ->
+    cellstore, with `exit_on_success` stopping at the first published cell.
+    The capture is looped (file_source repeat=True) until `max_seconds` of
+    stream time has been processed.
+    """
+    psr_threshold = ensure_safe_threshold(psr_threshold)
+    total = int(max_seconds * SAMPLE_RATE)
+    buffer = _prepare_buffer(iq, sample_rate, repeat_to=total)
+    n_valid = buffer.shape[0]
+
+    store = cellstore if cellstore is not None else CellStore()
+    state = trig.init_state()
+    # worst case each step consumes HALF_FRAME - LOOKBACK - 1 samples
+    max_steps = total // (HALF_FRAME_LENGTH - LOOKBACK - 1) + 2
+
+    found: list[Cell] = []
+    steps_done = 0
+    while steps_done < max_steps:
+        n = min(chunk_steps, max_steps - steps_done)
+        state, out = _scan_jit(buffer, state, jnp.float32(psr_threshold),
+                               jnp.int32(n_valid), n, track_after,
+                               track_every)
+        steps_done += n
+        host = jax.tree_util.tree_map(np.asarray, out)
+        stop = _drain_events(host, store, found)
+        if exit_on_success and stop:
+            break
+        if not np.any(host.consumed):      # all roots exhausted the stream
+            break
+    return found
+
+
+def _drain_events(out, store: CellStore, found: list[Cell]) -> bool:
+    """Apply a chunk's track/drop events to the store. True if any track."""
+    any_track = False
+    n_steps = out.track_event.shape[0]
+    for s in range(n_steps):
+        for r in range(out.track_event.shape[1]):
+            if out.drop_event[s, r]:
+                store.drop_cell_id(int(out.drop_cell_id[s, r]))
+            if out.track_event[s, r]:
+                cell = cell_from_step(
+                    out.cell_id[s, r], out.nof_prb[s, r],
+                    out.nof_ports[s, r], out.phich_ext[s, r],
+                    out.phich_res[s, r], out.sfn_offset[s, r],
+                    bool(out.normal_cp[s, r]))
+                store.track_cell(cell)
+                found.append(cell)
+                any_track = True
+    return any_track
+
+
+class Trigger:
+    """Streaming detector with the reference hier-block's surface.
+
+    Feed arbitrary-size chunks of 1.92 Msps complex64 via process(); track /
+    drop events flow into the attached CellStore.  Telemetry properties
+    mirror the pss block query API polled by the reference's GRC demos.
+    """
+
+    def __init__(self, psr_threshold: float = DEFAULT_PSR_THRESHOLD,
+                 exit_on_success: bool = False,
+                 track_after: int = DEFAULT_TRACK_AFTER,
+                 track_every: int = DEFAULT_TRACK_EVERY,
+                 cellstore: Optional[CellStore] = None,
+                 on_track: Optional[Callable[[Cell], None]] = None,
+                 on_drop: Optional[Callable[[int], None]] = None):
+        self.psr_threshold = ensure_safe_threshold(psr_threshold)
+        self.exit_on_success = exit_on_success
+        self.track_after = track_after
+        self.track_every = track_every
+        self.cellstore = cellstore if cellstore is not None else CellStore()
+        self.on_track = on_track
+        self.on_drop = on_drop
+        self.done = False
+
+        # streaming convention: stream index 0 = first real sample, with
+        # LOOKBACK zeros of synthetic history before it (GR history parity)
+        self._state = trig.init_state(start_pos=0)
+        self._buf = np.zeros(LOOKBACK, dtype=np.complex64)
+        self._base = -LOOKBACK   # stream index of self._buf[0]
+        self._step = jax.jit(functools.partial(
+            trig.trigger_step, track_after=track_after,
+            track_every=track_every))
+
+    # -- telemetry (reference lib/pss_impl.h:95-100; [3] per-root arrays) --
+    @property
+    def max_psr(self):
+        return np.asarray(self._state.psr_max)
+
+    @property
+    def mean_psr(self):
+        s = self._state
+        return np.asarray(trig._ring_mean(s.psr_ring, s.psr_count))
+
+    @property
+    def mean_cfo(self):
+        s = self._state
+        return np.asarray(trig._ring_mean(s.cfo_ring, s.cfo_count))
+
+    @property
+    def tracking_score(self):
+        return np.asarray(self._state.score)
+
+    @property
+    def tracking(self):
+        return np.asarray(self._state.tracking)
+
+    def set_psr_threshold(self, t: float):
+        self.psr_threshold = ensure_safe_threshold(t)
+
+    # ---------------------------------------------------------------------
+    def process(self, samples: np.ndarray) -> list[Cell]:
+        """Consume a chunk of complex64 at 1.92 Msps; returns cells published
+        during this chunk."""
+        if self.done:
+            return []
+        self._buf = np.concatenate(
+            [self._buf, np.asarray(samples, dtype=np.complex64)])
+        published: list[Cell] = []
+
+        while True:
+            pos = np.asarray(self._state.pos)          # absolute in-pointers
+            starts = pos - LOOKBACK - self._base
+            if np.any(starts < 0) or \
+               np.any(starts + WINDOW > len(self._buf)):
+                break
+            windows = np.stack([self._buf[s:s + WINDOW] for s in starts])
+            self._state, out = self._step(
+                self._state, jnp.asarray(windows),
+                jnp.float32(self.psr_threshold))
+            host = jax.tree_util.tree_map(np.asarray, out)
+            for r in range(host.track_event.shape[0]):
+                if host.drop_event[r]:
+                    cid = int(host.drop_cell_id[r])
+                    self.cellstore.drop_cell_id(cid)
+                    if self.on_drop:
+                        self.on_drop(cid)
+                if host.track_event[r]:
+                    cell = cell_from_step(
+                        host.cell_id[r], host.nof_prb[r], host.nof_ports[r],
+                        host.phich_ext[r], host.phich_res[r],
+                        host.sfn_offset[r], bool(host.normal_cp[r]))
+                    self.cellstore.track_cell(cell)
+                    published.append(cell)
+                    if self.on_track:
+                        self.on_track(cell)
+                    if self.exit_on_success:
+                        self.done = True
+                        return published
+            # discard samples no longer reachable by any root
+            keep_from = int(np.min(np.asarray(self._state.pos))
+                            - LOOKBACK - self._base)
+            if keep_from > 0:
+                self._buf = self._buf[keep_from:]
+                self._base += keep_from
+        return published

@@ -1,0 +1,131 @@
+"""Integration tests for the fused trigger pipeline — the TPU-native
+equivalents of the reference's 4 known-answer QA tests
+(python/qa_downlink_trigger_c.py) plus state-machine behavior tests the
+reference never had."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltetrigger_tpu.ltecore import synth
+from ltetrigger_tpu.models import api, trigger as trig
+from ltetrigger_tpu.runtime.cellstore import CellStore
+from tests.conftest import load_frame
+
+
+@pytest.mark.parametrize("nof_prb", [6, 25, 50, 100])
+def test_known_answer_search(nof_prb):
+    """Reference QA parity: 1 s of looped capture, threshold 4,
+    exit_on_success — assert all six fields (qa_downlink_trigger_c.py)."""
+    iq, cell_id, rate = load_frame(nof_prb)
+    cells = api.search(iq, rate, psr_threshold=4, exit_on_success=True,
+                       max_seconds=1.0)
+    assert cells, "No message triggered"
+    cell = cells[0]
+    assert cell.cell_id == cell_id
+    assert cell.cp_len == "Normal"
+    assert cell.nof_phich_resources == "1"
+    assert cell.nof_prb == nof_prb
+    assert cell.nof_tx_ports == 1
+    assert cell.phich_len == "Normal"
+
+
+def test_search_noise_not_found():
+    rng = np.random.default_rng(0)
+    noise = (rng.normal(size=19200) + 1j * rng.normal(size=19200)) \
+        .astype(np.complex64)
+    cells = api.search(noise, 1.92e6, max_seconds=0.25)
+    assert cells == []
+
+
+def test_threshold_clamp():
+    assert api.ensure_safe_threshold(0.5) == 1.5
+    assert api.ensure_safe_threshold(4.0) == 4.0
+
+
+def test_tracking_acquisition_and_loss():
+    """Hysteresis contract: score saturates at track_after, tracking starts,
+    then signal loss resets score and retracts the published cell."""
+    iq, cell_id, _ = load_frame(6)
+    rng = np.random.default_rng(1)
+
+    store = CellStore()
+    trigger = api.Trigger(psr_threshold=4, cellstore=store)
+    n_frames = 20
+    sig = np.tile(iq, n_frames)
+    trigger.process(sig)
+
+    lane = cell_id % 3
+    assert trigger.tracking[lane], "should be tracking after 20 half-frames"
+    assert trigger.tracking_score[lane] == 16
+    assert store.tracking()
+    assert store.latest_cell().cell_id == cell_id
+    assert trigger.max_psr[lane] > 4.0
+    assert abs(trigger.mean_cfo[lane]) < 0.05   # synthetic capture: no CFO
+
+    # now feed noise at the signal's own RMS: tracking must drop and the
+    # published cell must be retracted.  While tracking, correlation
+    # re-runs only every track_every-th half-frame (stale PSR reused in
+    # between, reference lib/pss_impl.cc:163-172) and the EMA'd
+    # correlation decays gradually, so give it a couple dozen half-frames.
+    sigma = 3.0 * float(np.sqrt(np.mean(np.abs(iq) ** 2)))
+    noise = sigma * (rng.normal(size=19200 * 20)
+                     + 1j * rng.normal(size=19200 * 20))
+    trigger.process(noise.astype(np.complex64))
+    assert not trigger.tracking[lane]
+    assert trigger.tracking_score[lane] == 0
+    assert not store.tracking(), "drop event must empty the cellstore"
+
+
+def test_trigger_streaming_chunks_equivalent():
+    """Feeding odd-sized chunks produces the same detection as one shot."""
+    iq, cell_id, _ = load_frame(6)
+    sig = np.tile(iq, 6)
+
+    t1 = api.Trigger(psr_threshold=4)
+    cells1 = t1.process(sig)
+
+    t2 = api.Trigger(psr_threshold=4)
+    cells2 = []
+    for i in range(0, len(sig), 7777):
+        cells2.extend(t2.process(sig[i:i + 7777]))
+
+    assert [c.cell_id for c in cells1] == [c.cell_id for c in cells2]
+    assert cells1 and cells1[0].cell_id == cell_id
+    np.testing.assert_allclose(t1.mean_psr, t2.mean_psr, rtol=1e-5)
+
+
+def test_scan_engine_matches_streaming():
+    """Device-resident scan and host streaming produce identical events."""
+    iq, cell_id, _ = load_frame(6)
+    sig = np.tile(iq, 4)
+
+    buffer = jnp.concatenate([
+        jnp.zeros(trig.LOOKBACK, jnp.complex64), jnp.asarray(sig),
+        jnp.zeros(trig.WINDOW, jnp.complex64)])
+    state = trig.init_state()
+    _, out = trig.scan_engine(buffer, state, 7, 4.0)
+    track_steps, track_roots = np.where(np.asarray(out.track_event))
+    assert len(track_steps) == 1
+    assert track_roots[0] == cell_id % 3
+    assert int(out.cell_id[track_steps[0], track_roots[0]]) == cell_id
+
+
+def test_exit_on_success_stops():
+    iq, cell_id, _ = load_frame(6)
+    trigger = api.Trigger(psr_threshold=4, exit_on_success=True)
+    cells = trigger.process(np.tile(iq, 10))
+    assert len(cells) == 1
+    assert trigger.done
+    assert trigger.process(np.tile(iq, 2)) == []
+
+
+def test_extended_cp_cell_via_search():
+    """A capability the reference has but never ships a fixture for."""
+    f = synth.synthesize_frame(301, nof_prb_field=25, normal_cp=False,
+                               nof_ports=2).astype(np.complex64)
+    cells = api.search(f, 1.92e6, max_seconds=0.3)
+    assert cells and cells[0].cell_id == 301
+    assert cells[0].cp_len == "Extended"
+    assert cells[0].nof_tx_ports == 2
+    assert cells[0].nof_prb == 25
