@@ -21,7 +21,7 @@ from ..ltecore.constants import (DEFAULT_PSR_THRESHOLD, DEFAULT_TRACK_AFTER,
                                  DEFAULT_TRACK_EVERY, HALF_FRAME_LENGTH,
                                  MIN_PSR_THRESHOLD, MOVING_AVG_SZ,
                                  SAMPLE_RATE)
-from ..ops import resample
+from ..ops import cplx, resample
 from ..runtime.cellstore import Cell, CellStore, cell_from_step
 from . import trigger as trig
 
@@ -51,15 +51,15 @@ def _prepare_buffer(iq: np.ndarray, sample_rate: float,
             f"Sample rate {sample_rate/1e6:.2f} MHz is not a multiple of "
             "1.92 MHz. Arbitrary resampling not supported at this time.")
     ratio = int(round(ratio))
-    x = jnp.asarray(np.ascontiguousarray(iq), dtype=jnp.complex64)
-    x = resample.decimate(x, ratio)
-    n = x.shape[0]
+    x = resample.decimate(cplx.from_numpy(np.ascontiguousarray(iq)), ratio)
+    n = x[0].shape[0]
     if repeat_to is not None and repeat_to > n:
         reps = -(-repeat_to // n)
-        x = jnp.tile(x, reps)[:repeat_to]
-    head = jnp.zeros((LOOKBACK,), dtype=jnp.complex64)
-    tail = jnp.zeros((WINDOW,), dtype=jnp.complex64)
-    return jnp.concatenate([head, x, tail])
+        x = (jnp.tile(x[0], reps)[:repeat_to], jnp.tile(x[1], reps)[:repeat_to])
+    head = jnp.zeros((LOOKBACK,), dtype=jnp.float32)
+    tail = jnp.zeros((WINDOW,), dtype=jnp.float32)
+    return (jnp.concatenate([head, x[0], tail]),
+            jnp.concatenate([head, x[1], tail]))
 
 
 def search(iq: np.ndarray, sample_rate: float,
@@ -80,7 +80,7 @@ def search(iq: np.ndarray, sample_rate: float,
     psr_threshold = ensure_safe_threshold(psr_threshold)
     total = int(max_seconds * SAMPLE_RATE)
     buffer = _prepare_buffer(iq, sample_rate, repeat_to=total)
-    n_valid = buffer.shape[0]
+    n_valid = buffer[0].shape[0]
 
     store = cellstore if cellstore is not None else CellStore()
     state = trig.init_state()
@@ -200,9 +200,10 @@ class Trigger:
                np.any(starts + WINDOW > len(self._buf)):
                 break
             windows = np.stack([self._buf[s:s + WINDOW] for s in starts])
+            wpair = (jnp.asarray(windows.real.astype(np.float32)),
+                     jnp.asarray(windows.imag.astype(np.float32)))
             self._state, out = self._step(
-                self._state, jnp.asarray(windows),
-                jnp.float32(self.psr_threshold))
+                self._state, wpair, jnp.float32(self.psr_threshold))
             host = jax.tree_util.tree_map(np.asarray, out)
             for r in range(host.track_event.shape[0]):
                 if host.drop_event[r]:

@@ -13,7 +13,9 @@ Here the whole thing is ONE fixed-shape jitted step function:
     position in the carry, with windows gathered by dynamic_slice;
   * stream tags (tracking_lost / cell_id / cp_type) become booleans in the
     step output; PMT track/drop messages become event records the host
-    cellstore consumes.
+    cellstore consumes;
+  * IQ rides as float32 (re, im) pairs — this TPU has no complex dtype, and
+    the MXU wouldn't want one (see ops/cplx.py).
 
 Faithful semantics (reference lib/pss_impl.cc:154-223, SURVEY §2.3):
   score hysteresis with track_after saturation, EMA reset on acquisition and
@@ -30,13 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ltecore import pss as pssmod
 from ..ltecore.constants import (DEFAULT_TRACK_AFTER, DEFAULT_TRACK_EVERY,
                                  HALF_FRAME_LENGTH, MOVING_AVG_SZ,
                                  PSR_EMA_ALPHA, PSS_SYMBOL_START, SLOT_LENGTH,
                                  SYMBOL_SZ)
 from ..ops import cfo as cfo_ops
-from ..ops import correlate, pbch, sync
+from ..ops import cplx, correlate, pbch, sync
 
 R = 3                                   # N_id_2 hypotheses
 LOOKBACK = PSS_SYMBOL_START             # 832 samples of history before `pos`
@@ -107,15 +108,21 @@ def _ring_mean(ring, count):
     return jnp.where(n > 0, jnp.sum(ring, axis=-1) / jnp.maximum(n, 1), 0.0)
 
 
-def trigger_step(state: TriggerState, windows: jnp.ndarray,
+def _ring_push(ring, count, value):
+    idx = jnp.mod(count, MOVING_AVG_SZ)
+    onehot = jax.nn.one_hot(idx, MOVING_AVG_SZ, dtype=ring.dtype)
+    return ring * (1 - onehot) + onehot * value[..., None]
+
+
+def trigger_step(state: TriggerState, windows: cplx.Pair,
                  psr_threshold: jnp.ndarray,
                  track_after: int = DEFAULT_TRACK_AFTER,
                  track_every: int = DEFAULT_TRACK_EVERY,
                  active: jnp.ndarray | None = None):
     """One half-frame step for all three roots.
 
-    windows: [R, WINDOW] complex64 — per-root window; windows[r, LOOKBACK]
-             is the sample at state.pos[r].
+    windows: pair of [R, WINDOW] float32 — per-root window; sample LOOKBACK
+             of window r is the sample at state.pos[r].
     active:  [R] bool — roots with exhausted input are frozen (no-ops).
     returns: (next_state, StepOutput)
     """
@@ -125,10 +132,12 @@ def trigger_step(state: TriggerState, windows: jnp.ndarray,
     search = (~state.tracking) | (state.timer == 0)
     timer = jnp.where(search, track_every, state.timer - 1)
 
-    # --- PSS correlation (always computed; one batched FFT over roots) ---
-    # Root r only consults its own lane of the [R, 3, 9600] result.
-    power_all = correlate.pss_correlate_power(
-        windows[:, LOOKBACK:LOOKBACK + correlate.WINDOW_LEN])
+    # --- PSS correlation: one conv, 3 roots as output channels; root r
+    #     consults its own lane of the [R, 3, 9600] result ---
+    srch = cplx.index(windows,
+                      (slice(None), slice(LOOKBACK,
+                                          LOOKBACK + correlate.WINDOW_LEN)))
+    power_all = correlate.pss_correlate_power(srch)
     power = power_all[jnp.arange(R), jnp.arange(R)]            # [R, 9600]
     ema = jnp.where(search[:, None],
                     PSR_EMA_ALPHA * power + (1 - PSR_EMA_ALPHA) * state.ema,
@@ -167,15 +176,18 @@ def trigger_step(state: TriggerState, windows: jnp.ndarray,
     consumed = jnp.where(emit, frame_start + HALF_FRAME_LENGTH,
                          HALF_FRAME_LENGTH)
 
-    aligned = jax.vmap(
-        lambda w, fs: jax.lax.dynamic_slice(
-            w, (LOOKBACK + fs,), (HALF_FRAME_LENGTH,)))(
-        windows, frame_start)                                  # [R, 9600]
+    def slice_one(w, fs):
+        return jax.lax.dynamic_slice(w, (LOOKBACK + fs,),
+                                     (HALF_FRAME_LENGTH,))
+
+    aligned = (jax.vmap(slice_one)(windows[0], frame_start),
+               jax.vmap(slice_one)(windows[1], frame_start))   # pair [R, 9600]
 
     # --- CFO (tracking only): estimate on the PSS symbol, correct by the
     #     running mean (reference lib/pss_impl.cc:197-204) ---
-    reps = jnp.asarray(pssmod.pss_time().astype(np.complex64))  # [R, 128]
-    pss_sym = aligned[:, PSS_SYMBOL_START:SLOT_LENGTH]
+    reps = tuple(jnp.asarray(a) for a in cfo_ops.replica_pairs())  # [3, 128]
+    pss_sym = cplx.index(aligned,
+                         (slice(None), slice(PSS_SYMBOL_START, SLOT_LENGTH)))
     cfo_est = cfo_ops.cfo_estimate(pss_sym, reps)
     cfo_push = emit & tracking
     cfo_ring = jnp.where(cfo_push[:, None],
@@ -183,20 +195,20 @@ def trigger_step(state: TriggerState, windows: jnp.ndarray,
     cfo_count = cfo_count + cfo_push.astype(jnp.int32)
     cfo_mean = _ring_mean(cfo_ring, cfo_count)
     corrected = cfo_ops.cfo_correct(aligned, -cfo_mean / SYMBOL_SZ)
-    aligned = jnp.where(tracking[:, None], corrected, aligned)
+    aligned = cplx.where(tracking[:, None], corrected, aligned)
 
     # --- SSS: CP detect + cell identity (tags in the reference) ---
     normal_cp = sync.detect_cp(aligned)
     nid2 = jnp.arange(R, dtype=jnp.int32)
-    n_id_1, sub5 = jax.vmap(sync.sss_decode)(aligned, nid2, normal_cp)
+    n_id_1, sub5 = sync.sss_decode(aligned, nid2, normal_cp)
     sss_valid = n_id_1 >= 0
     cell_id = 3 * jnp.maximum(n_id_1, 0) + nid2
     tagged = emit & (~lost) & sss_valid
 
     # --- MIB attempt (stateless per half-frame, like the reference's
     #     pbch_decode_reset + ue_mib_decode) ---
-    mib = jax.vmap(pbch.mib_decode)(aligned[:, :2 * SLOT_LENGTH],
-                                    cell_id, normal_cp)
+    sf = cplx.index(aligned, (slice(None), slice(0, 2 * SLOT_LENGTH)))
+    mib = jax.vmap(pbch.mib_decode)(sf, cell_id, normal_cp)
     track_event = active & tagged & mib["found"] & (~state.published)
     drop_event = active & emit & lost & state.published
     published = (state.published | track_event) & ~drop_event
@@ -245,13 +257,7 @@ def trigger_step(state: TriggerState, windows: jnp.ndarray,
     return next_state, out
 
 
-def _ring_push(ring, count, value):
-    idx = jnp.mod(count, MOVING_AVG_SZ)
-    onehot = jax.nn.one_hot(idx, MOVING_AVG_SZ, dtype=ring.dtype)
-    return ring * (1 - onehot) + onehot * value[..., None]
-
-
-def scan_engine(buffer: jnp.ndarray, state: TriggerState, n_steps: int,
+def scan_engine(buffer: cplx.Pair, state: TriggerState, n_steps: int,
                 psr_threshold,
                 track_after: int = DEFAULT_TRACK_AFTER,
                 track_every: int = DEFAULT_TRACK_EVERY,
@@ -259,21 +265,23 @@ def scan_engine(buffer: jnp.ndarray, state: TriggerState, n_steps: int,
     """Device-resident engine: scan `n_steps` half-frame steps over a
     padded stream buffer (the whole GNU Radio scheduler collapses to this).
 
-    buffer: [N] complex64; must start with >= LOOKBACK zeros and be long
-            enough that any active pos can gather a full WINDOW.
+    buffer: pair of [N] float32; must start with >= LOOKBACK zeros and be
+            long enough that any active pos can gather a full WINDOW.
     n_valid: logical end of data in `buffer` (default: len(buffer)).
     returns: (final_state, StepOutput stacked [n_steps, R, ...])
     """
     if n_valid is None:
-        n_valid = buffer.shape[0]
+        n_valid = buffer[0].shape[0]
     n_valid = jnp.asarray(n_valid, dtype=jnp.int32)
     thresh = jnp.asarray(psr_threshold, dtype=jnp.float32)
 
     def step(st, _):
         active = st.pos + (WINDOW - LOOKBACK) <= n_valid
-        start = jnp.clip(st.pos - LOOKBACK, 0, buffer.shape[0] - WINDOW)
-        windows = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(buffer, (s,), (WINDOW,)))(start)
+        start = jnp.clip(st.pos - LOOKBACK, 0, buffer[0].shape[0] - WINDOW)
+        gather = jax.vmap(
+            lambda b, s: jax.lax.dynamic_slice(b, (s,), (WINDOW,)),
+            in_axes=(None, 0))
+        windows = (gather(buffer[0], start), gather(buffer[1], start))
         return trigger_step(st, windows, thresh, track_after, track_every,
                             active=active)
 

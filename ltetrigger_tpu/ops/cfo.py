@@ -1,58 +1,63 @@
-"""Carrier-frequency-offset estimation and correction (jitted).
+"""Carrier-frequency-offset estimation and correction (jitted, real-pair).
 
 Replaces srslte_pss_cfo_compute / srslte_cfo_correct (reference
 lib/pss_impl.cc:197-204): the CFO estimate is the phase between the two
 half-symbol correlations of the received PSS against the local replica, in
-units of the subcarrier spacing; correction is one complex phase-ramp
-multiply over the half-frame (the NCO becomes a vectorized exp).
+units of the subcarrier spacing; correction is one cos/sin phase-ramp
+multiply over the half-frame (the NCO becomes a vectorized rotation).
 """
+
+import functools
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..ltecore import pss as pssmod
 from ..ltecore.constants import SYMBOL_SZ
+from . import cplx, dft
 
 
-def _replicas():
-    return jnp.asarray(pssmod.pss_time().astype(np.complex64))
+@functools.lru_cache(maxsize=None)
+def replica_pairs():
+    """[3, 128] float32 (re, im) of the unit-energy time replicas."""
+    return cplx.const(pssmod.pss_time())
 
 
-def cfo_estimate(pss_symbol: jnp.ndarray, n_id_2_replica: jnp.ndarray):
+def cfo_estimate(pss_symbol: cplx.Pair, replica: cplx.Pair) -> jnp.ndarray:
     """CFO in subcarrier-spacing units from a received 128-sample PSS symbol.
 
-    pss_symbol: [..., 128] complex64 (the aligned samples at [832, 960))
-    n_id_2_replica: [..., 128] local time replica for the root under test
+    pss_symbol: pair of [..., 128] (aligned samples at [832, 960))
+    replica:    pair of [..., 128] local time replica for the root under test
+    returns:    [...] float32; unambiguous range (-1, 1) subcarriers.
     """
     h = SYMBOL_SZ // 2
-    y0 = jnp.sum(jnp.conj(n_id_2_replica[..., :h]) * pss_symbol[..., :h],
-                 axis=-1)
-    y1 = jnp.sum(jnp.conj(n_id_2_replica[..., h:]) * pss_symbol[..., h:],
-                 axis=-1)
-    return (jnp.angle(jnp.conj(y0) * y1) / jnp.pi).astype(jnp.float32)
+    y0 = cplx.dot_conj_sum(cplx.index(pss_symbol, (..., slice(None, h))),
+                           cplx.index(replica, (..., slice(None, h))))
+    y1 = cplx.dot_conj_sum(cplx.index(pss_symbol, (..., slice(h, None))),
+                           cplx.index(replica, (..., slice(h, None))))
+    # angle(conj(y0) * y1) / pi
+    prod = cplx.mul(cplx.conj(y0), y1)
+    return (cplx.angle(prod) / jnp.pi).astype(jnp.float32)
 
 
-def cfo_correct(x: jnp.ndarray, freq: jnp.ndarray) -> jnp.ndarray:
+def cfo_correct(x: cplx.Pair, freq) -> cplx.Pair:
     """Multiply by exp(2j*pi*freq*n); freq in cycles/sample.
 
     Matches srslte_cfo_correct's convention: the caller passes
     freq = -mean_cfo / 128 to remove a +mean_cfo (subcarrier units) offset.
     """
-    n = jnp.arange(x.shape[-1], dtype=jnp.float32)
-    rot = jnp.exp(2j * jnp.pi * freq[..., None].astype(jnp.float32) * n)
-    return (x * rot.astype(jnp.complex64)).astype(jnp.complex64)
+    n = jnp.arange(x[0].shape[-1], dtype=jnp.float32)
+    theta = 2 * jnp.pi * jnp.asarray(freq)[..., None] * n
+    return cplx.mul(x, cplx.expi(theta))
 
 
-def pss_chest(pss_symbol: jnp.ndarray, n_id_2: int | None = None,
-              freq_replica: jnp.ndarray | None = None) -> jnp.ndarray:
+def pss_chest(pss_symbol: cplx.Pair, n_id_2: int) -> cplx.Pair:
     """LS channel estimate over the 62 PSS subcarriers.
 
     Computed-but-unconsumed in the reference (lib/pss_impl.cc:206-209,
     SURVEY §2.2); kept as telemetry here.
     """
-    bins = jnp.asarray(pssmod.subcarrier_bins())
-    Y = jnp.fft.fft(pss_symbol, axis=-1)[..., bins]
-    if freq_replica is None:
-        freq_replica = jnp.asarray(
-            pssmod.pss_freq_occupied().astype(np.complex64))[n_id_2]
-    return (Y * jnp.conj(freq_replica)).astype(jnp.complex64)
+    Y = dft.dft_sync(pss_symbol)
+    fr, fi = cplx.const(pssmod.pss_freq_occupied())
+    rep = (jnp.asarray(fr)[n_id_2], jnp.asarray(fi)[n_id_2])
+    return cplx.mul_conj(Y, rep)

@@ -1,54 +1,66 @@
-"""PSS matched filtering on TPU.
+"""PSS matched filtering on TPU — direct convolution on the MXU.
 
-The reference's hot loop is srslte_pss_find_pss — an FFTW overlap-add complex
-convolution of a 9600-sample half-frame against a 128-tap ZC replica, run on
-one CPU thread per N_id_2 chain (reference lib/pss_impl.cc:165, SURVEY §3.2).
+The reference's hot loop is srslte_pss_find_pss, an FFTW overlap-add complex
+convolution per N_id_2 chain (lib/pss_impl.cc:165, SURVEY §3.2).  This TPU
+backend has no FFT at all, and doesn't want one: a 128-tap matched filter
+over a 9600-sample half-frame is a dense [2-in, 6-out, 128-wide] real
+convolution that XLA lowers straight onto the MXU.  All three N_id_2
+hypotheses are output channels of ONE conv; channels batch on the leading
+dim.
 
-TPU-native design: one forward FFT of the window is shared by all three
-N_id_2 hypotheses (they become a batch dimension), the per-root products ride
-a single batched inverse FFT, and everything stays on device.  Channels add
-another leading batch dim via vmap — the three reference threads become lanes
-of one tensor program.
-
-corr[r, n] = sum_k window[n + k] * conj(rep[r, k]),  n in [0, 9600)
-power      = |corr|^2                  (PSR threshold semantics are power-
-                                        domain, matching srsLTE's abs-square)
+Complex correlation by real parts (x = xr + j xi, replica r):
+    c[n]   = sum_k x[n+k] * conj(r[k])
+    re(c)  = xr (*) rr + xi (*) ri          ((*) = sliding correlation)
+    im(c)  = xi (*) rr - xr (*) ri
+so the conv kernel is [out=6, in=2, w=128] with rows
+    out 2t   (re of root t):  [ rr_t,  ri_t ]
+    out 2t+1 (im of root t):  [-ri_t,  rr_t ]
 """
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ltecore import pss as pssmod
 from ..ltecore.constants import HALF_FRAME_LENGTH, SYMBOL_SZ
+from . import cplx
 
-FFT_LEN = 16384          # next pow2 >= 9600 + 128; XLA's TPU FFT likes pow2
-SEARCH_LEN = HALF_FRAME_LENGTH          # 9600 candidate start positions
+SEARCH_LEN = HALF_FRAME_LENGTH                   # 9600 candidate starts
 WINDOW_LEN = HALF_FRAME_LENGTH + SYMBOL_SZ - 1   # samples the filter reads
+N_ROOTS = 3
 
 
 @functools.lru_cache(maxsize=None)
-def _replica_spectra() -> np.ndarray:
-    """[3, FFT_LEN] conj(FFT(replica)) — static correlator weights."""
-    reps = pssmod.pss_time()                      # [3, 128] unit energy
-    pad = np.zeros((3, FFT_LEN), dtype=np.complex64)
-    pad[:, :SYMBOL_SZ] = reps
-    return np.conj(np.fft.fft(pad, axis=-1)).astype(np.complex64)
+def _kernel() -> np.ndarray:
+    """[6, 2, 128] float32 conv kernel for all three roots."""
+    rr, ri = cplx.const(pssmod.pss_time())       # each [3, 128]
+    k = np.zeros((2 * N_ROOTS, 2, SYMBOL_SZ), dtype=np.float32)
+    for t in range(N_ROOTS):
+        k[2 * t, 0] = rr[t]
+        k[2 * t, 1] = ri[t]
+        k[2 * t + 1, 0] = -ri[t]
+        k[2 * t + 1, 1] = rr[t]
+    return k
 
 
-def pss_correlate_power(window: jnp.ndarray) -> jnp.ndarray:
-    """|corr|^2 for all 3 roots over one window.
+def pss_correlate_power(window: cplx.Pair) -> jnp.ndarray:
+    """|corr|^2 for all 3 roots over windows.
 
-    window: [..., >=WINDOW_LEN] complex64
+    window: pair of [..., >=WINDOW_LEN] float32
     returns: [..., 3, SEARCH_LEN] float32
     """
-    x = window[..., :WINDOW_LEN]
-    X = jnp.fft.fft(x, n=FFT_LEN, axis=-1)                      # [..., L]
-    R = jnp.asarray(_replica_spectra())                         # [3, L]
-    prod = X[..., None, :] * R                                  # [..., 3, L]
-    c = jnp.fft.ifft(prod, axis=-1)[..., :SEARCH_LEN]
-    return jnp.square(jnp.abs(c)).astype(jnp.float32)
+    wr, wi = window
+    batch_shape = wr.shape[:-1]
+    x = jnp.stack([wr[..., :WINDOW_LEN], wi[..., :WINDOW_LEN]], axis=-2)
+    x = x.reshape((-1, 2, WINDOW_LEN))                        # [B, 2, W]
+    y = jax.lax.conv_general_dilated(
+        x, jnp.asarray(_kernel()), window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)                   # [B, 6, 9600]
+    y = y.reshape(batch_shape + (N_ROOTS, 2, SEARCH_LEN))
+    return y[..., 0, :] ** 2 + y[..., 1, :] ** 2
 
 
 def peak_and_psr(power: jnp.ndarray, lobe_limit: int = 64):
@@ -62,19 +74,19 @@ def peak_and_psr(power: jnp.ndarray, lobe_limit: int = 64):
     returns: (peak_pos int32 [...], psr float32 [...])
     """
     n = power.shape[-1]
-    peak = jnp.argmax(power, axis=-1).astype(jnp.int32)         # [...]
+    peak = jnp.argmax(power, axis=-1).astype(jnp.int32)
     pk_val = jnp.take_along_axis(power, peak[..., None], axis=-1)[..., 0]
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    rel = idx - peak[..., None]                                 # [..., n]
+    rel = idx - peak[..., None]
 
-    # first rise to the right of the peak: smallest d>0 with p[peak+d+1] > p[peak+d]
+    # first rise to the right of the peak (p[i+1] > p[i]), bounded
     shifted = jnp.concatenate([power[..., 1:], power[..., -1:]], axis=-1)
-    rise = shifted > power                                       # p[i+1] > p[i]
+    rise = shifted > power
     right_cand = jnp.where((rel >= 1) & (rel <= lobe_limit) & rise,
                            rel, lobe_limit)
-    right_edge = jnp.min(right_cand, axis=-1)                    # lobe extent
-    # first rise to the left: smallest d>0 with p[peak-d-1] > p[peak-d]
+    right_edge = jnp.min(right_cand, axis=-1)
+    # first rise to the left
     shiftedl = jnp.concatenate([power[..., :1], power[..., :-1]], axis=-1)
     risel = shiftedl > power
     left_cand = jnp.where((-rel >= 1) & (-rel <= lobe_limit) & risel,

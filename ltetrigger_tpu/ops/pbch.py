@@ -1,18 +1,19 @@
-"""Jitted PBCH/MIB decoder.
+"""Jitted PBCH/MIB decoder (real-pair, FFT-free).
 
 Replaces the whole srslte_ue_mib_decode chain (reference lib/mib_impl.cc:162
 — OFDM demod, CRS channel estimation, PBCH demod, descrambling, rate
 dematching, Viterbi, CRC/port search, MIB unpack) with one fixed-shape
 array program:
 
+  * OFDM demodulation is a [72, 128] DFT matmul per symbol (no FFT on TPU);
   * cell_id is a *traced* value (it comes from SSS at runtime), so every
     cell-dependent sequence is computed on device: Gold scrambling and CRS
     pilots are GF(2) matmuls against precomputed generator matrices
     (ltecore/scrambling.py), CRS/PBCH resource positions are arithmetic in
-    v_shift.
+    v_shift;
   * both CP hypotheses, all 3 TX-port-count hypotheses, and all 4 scrambling
     quarters are evaluated unconditionally as batch dimensions; CRC (itself a
-    linear GF(2) map) selects the winner.  No data-dependent control flow.
+    linear GF(2) map) selects the winner.  No data-dependent control flow;
   * rate dematching is a static one-hot matmul (480x120 per quarter).
 
 The reference resets PBCH soft-combining every half-frame
@@ -26,8 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ltecore import coding, scrambling
-from ..ltecore.constants import (CP_EXT, CP_NORM, NOF_PRB_TABLE, SLOT_LENGTH,
-                                 SYMBOL_SZ, symbol_data_offsets)
+from ..ltecore.constants import (NOF_PRB_TABLE, SLOT_LENGTH, SYMBOL_SZ,
+                                 symbol_data_offsets)
+from . import cplx, dft
 from .viterbi import viterbi_decode_tb
 
 N_RB_MAX = 110
@@ -83,23 +85,24 @@ def _crc_masks() -> np.ndarray:
 
 
 # ------------------------------------------------------------------- OFDM --
-def ofdm_demod_slot(slot: jnp.ndarray, normal_cp: bool) -> jnp.ndarray:
-    """[..., 960] -> [..., nsym, 72] (6 PRB centered, DC dropped)."""
+def ofdm_demod_slot(slot: cplx.Pair, normal_cp: bool) -> cplx.Pair:
+    """pair of [..., 960] -> pair of [..., nsym, 72] (6 PRB grid)."""
     offs = symbol_data_offsets(normal_cp)
-    wins = jnp.stack([slot[..., o:o + SYMBOL_SZ] for o in offs], axis=-2)
-    F = jnp.fft.fft(wins, axis=-1)
-    return jnp.concatenate([F[..., SYMBOL_SZ - 36:], F[..., 1:37]], axis=-1)
+    wins = cplx.stack(
+        [cplx.index(slot, (..., slice(o, o + SYMBOL_SZ))) for o in offs],
+        axis=-2)
+    return dft.dft_grid(wins)
 
 
 # ------------------------------------------------------------------ chest --
 def _crs_pilots(cell_id, slot_no: int, sym: int, normal_cp: bool):
-    """[..., 12] complex pilots for the centered 6 PRB (traced cell_id)."""
+    """pair of [..., 12] pilots for the centered 6 PRB (traced cell_id)."""
     c_init = scrambling.crs_c_init(cell_id, slot_no, sym, normal_cp)
-    signs = _gold_signs(c_init, 4 * N_RB_MAX)         # [..., 440]
+    signs = _gold_signs(c_init, 4 * N_RB_MAX)
     m = jnp.arange(12) + (N_RB_MAX - 6)
-    re = jnp.take(signs, 2 * m, axis=-1)
-    im = jnp.take(signs, 2 * m + 1, axis=-1)
-    return ((re + 1j * im) / np.sqrt(2.0)).astype(jnp.complex64)
+    re = jnp.take(signs, 2 * m, axis=-1) / np.sqrt(2.0)
+    im = jnp.take(signs, 2 * m + 1, axis=-1) / np.sqrt(2.0)
+    return (re.astype(jnp.float32), im.astype(jnp.float32))
 
 
 def _crs_v(port: int, sym: int, slot_no: int) -> int:
@@ -112,30 +115,35 @@ def _crs_v(port: int, sym: int, slot_no: int) -> int:
     return 3 + 3 * (slot_no % 2)
 
 
-def _chest_port(slot_syms, cell_id, slot_no: int, port: int,
-                normal_cp: bool) -> jnp.ndarray:
-    """[..., 72] averaged LS estimate with linear freq interpolation."""
+def _chest_port(slot_syms: cplx.Pair, cell_id, slot_no: int, port: int,
+                normal_cp: bool) -> cplx.Pair:
+    """pair of [..., 72] averaged LS estimate with linear freq interp."""
     if port in (0, 1):
         crs_syms = (0, 4) if normal_cp else (0, 3)
     else:
         crs_syms = (1,)
     v_shift = jnp.mod(cell_id, 6)
-    acc = jnp.zeros(slot_syms.shape[:-2] + (72,), dtype=jnp.complex64)
+    acc = cplx.zeros(slot_syms[0].shape[:-2] + (72,))
     for sym in crs_syms:
         pil = _crs_pilots(cell_id, slot_no, sym, normal_cp)
         k0 = jnp.mod(_crs_v(port, sym, slot_no) + v_shift, 6)
-        k = k0[..., None] + 6 * jnp.arange(12)                 # [..., 12]
-        h_ls = jnp.take_along_axis(slot_syms[..., sym, :], k, axis=-1) \
-            / pil
+        k = k0[..., None] + 6 * jnp.arange(12)
+        y = (jnp.take_along_axis(slot_syms[0][..., sym, :], k, axis=-1),
+             jnp.take_along_axis(slot_syms[1][..., sym, :], k, axis=-1))
+        h_ls = cplx.div_real(cplx.mul_conj(y, pil), cplx.abs2(pil))
         # linear interp to all 72 subcarriers, flat extrapolation at edges
         j = jnp.arange(72)
-        t = (j - k0[..., None]) / 6.0                          # [..., 72]
+        t = (j - k0[..., None]) / 6.0
         mfloor = jnp.clip(jnp.floor(t), 0, 10).astype(jnp.int32)
         frac = jnp.clip(t - mfloor, 0.0, 1.0).astype(jnp.float32)
-        h_lo = jnp.take_along_axis(h_ls, mfloor, axis=-1)
-        h_hi = jnp.take_along_axis(h_ls, jnp.minimum(mfloor + 1, 11), axis=-1)
-        acc = acc + h_lo * (1 - frac) + h_hi * frac
-    return acc / len(crs_syms)
+        lo = (jnp.take_along_axis(h_ls[0], mfloor, axis=-1),
+              jnp.take_along_axis(h_ls[1], mfloor, axis=-1))
+        mhi = jnp.minimum(mfloor + 1, 11)
+        hi = (jnp.take_along_axis(h_ls[0], mhi, axis=-1),
+              jnp.take_along_axis(h_ls[1], mhi, axis=-1))
+        interp = cplx.add(cplx.scale(lo, 1 - frac), cplx.scale(hi, frac))
+        acc = cplx.add(acc, interp)
+    return cplx.scale(acc, 1.0 / len(crs_syms))
 
 
 # ------------------------------------------------------- PBCH RE gathering --
@@ -149,70 +157,84 @@ def _pbch_gather_indices(v_shift, normal_cp: bool):
     a = jnp.where(v3 == 0, 1, 0)
     b = jnp.where(v3 == 2, 1, 2)
     j = jnp.arange(48)
-    k_res = 3 * (j // 2) + jnp.where(j % 2 == 0, a, b)         # [48]
-    k_full = jnp.arange(72)
+    k_res = (3 * (j // 2) + jnp.where(j % 2 == 0, a, b)).astype(jnp.int32)
+    k_full = jnp.arange(72, dtype=jnp.int32)
     crs_syms = (0, 1) if normal_cp else (0, 1, 3)
     ls, ks = [], []
     for l in range(4):
         k = k_res if l in crs_syms else k_full
-        ks.append(k.astype(jnp.int32))
+        ks.append(k)
         ls.append(jnp.full(k.shape, l, dtype=jnp.int32))
     return jnp.concatenate(ls), jnp.concatenate(ks)
 
 
 # ---------------------------------------------------------------- equalize --
-def _equalize(y, h, nof_ports: int):
-    """[..., E] received REs + per-port [..., 4, E] channel -> symbols."""
+def _sfbc(y: cplx.Pair, g0: cplx.Pair, g1: cplx.Pair) -> cplx.Pair:
+    """Alamouti SFBC decode over adjacent RE pairs (y, channels as pairs)."""
+    y0 = cplx.index(y, (..., slice(0, None, 2)))
+    y1 = cplx.index(y, (..., slice(1, None, 2)))
+    a0 = cplx.index(g0, (..., slice(0, None, 2)))
+    a1 = cplx.index(g1, (..., slice(0, None, 2)))
+    den = cplx.abs2(a0) + cplx.abs2(a1) + 1e-12
+    x0 = cplx.div_real(cplx.add(cplx.mul(cplx.conj(a0), y0),
+                                cplx.mul(a1, cplx.conj(y1))), den)
+    x1 = cplx.div_real(cplx.sub(cplx.mul(cplx.conj(a0), y1),
+                                cplx.mul(a1, cplx.conj(y0))), den)
+    # interleave x0/x1 back
+    re = jnp.stack([x0[0], x1[0]], axis=-1).reshape(y[0].shape)
+    im = jnp.stack([x0[1], x1[1]], axis=-1).reshape(y[1].shape)
+    return (re, im)
+
+
+def _equalize(y: cplx.Pair, h: list, nof_ports: int) -> cplx.Pair:
+    """y pair [..., E]; h = list of 4 per-port pairs [..., E] -> symbols."""
     if nof_ports == 1:
-        h0 = h[..., 0, :]
-        return y * jnp.conj(h0) / (jnp.abs(h0) ** 2 + 1e-12)
+        h0 = h[0]
+        return cplx.div_real(cplx.mul_conj(y, h0), cplx.abs2(h0) + 1e-12)
     if nof_ports == 2:
-        return _sfbc(y, h[..., 0, :], h[..., 1, :])
-    # 4 ports: SFBC-FSTD on groups of 4; pairs (0,2) then (1,3)
-    sh = y.shape[:-1]
-    e = y.shape[-1]
-    yg = y.reshape(sh + (e // 4, 4))
-    hg = h.reshape(sh + (4, e // 4, 4))
-    d02 = _sfbc(yg[..., :2].reshape(sh + (e // 2,)),
-                hg[..., 0, :, :2].reshape(sh + (e // 2,)),
-                hg[..., 2, :, :2].reshape(sh + (e // 2,)))
-    d13 = _sfbc(yg[..., 2:].reshape(sh + (e // 2,)),
-                hg[..., 1, :, 2:].reshape(sh + (e // 2,)),
-                hg[..., 3, :, 2:].reshape(sh + (e // 2,)))
-    out = jnp.stack([d02.reshape(sh + (e // 4, 2)),
-                     d13.reshape(sh + (e // 4, 2))], axis=-2)
-    return out.reshape(sh + (e,))
+        return _sfbc(y, h[0], h[1])
+    # 4 ports: SFBC-FSTD on groups of 4; pairs (0,2) on REs {0,1} and
+    # (1,3) on REs {2,3} of each group
+    e = y[0].shape[-1]
+    sh = y[0].shape[:-1]
 
+    def grp(p, sel):
+        r = p[0].reshape(sh + (e // 4, 4))[..., sel].reshape(sh + (e // 2,))
+        i = p[1].reshape(sh + (e // 4, 4))[..., sel].reshape(sh + (e // 2,))
+        return (r, i)
 
-def _sfbc(y, g0, g1):
-    """Alamouti SFBC decode over adjacent RE pairs."""
-    y0, y1 = y[..., 0::2], y[..., 1::2]
-    a0, a1 = g0[..., 0::2], g1[..., 0::2]
-    den = jnp.abs(a0) ** 2 + jnp.abs(a1) ** 2 + 1e-12
-    x0 = (jnp.conj(a0) * y0 + a1 * jnp.conj(y1)) / den
-    x1 = (jnp.conj(a0) * y1 - a1 * jnp.conj(y0)) / den
-    out = jnp.stack([x0, x1], axis=-1)
-    return out.reshape(y.shape)
+    first = slice(0, 2)
+    second = slice(2, 4)
+    d02 = _sfbc(grp(y, first), grp(h[0], first), grp(h[2], first))
+    d13 = _sfbc(grp(y, second), grp(h[1], second), grp(h[3], second))
+    re = jnp.concatenate([d02[0].reshape(sh + (e // 4, 2)),
+                          d13[0].reshape(sh + (e // 4, 2))], axis=-1)
+    im = jnp.concatenate([d02[1].reshape(sh + (e // 4, 2)),
+                          d13[1].reshape(sh + (e // 4, 2))], axis=-1)
+    return (re.reshape(sh + (e,)), im.reshape(sh + (e,)))
 
 
 # ------------------------------------------------------------- full decode --
-def _decode_cp(subframe, cell_id, normal_cp: bool):
+def _decode_cp(subframe: cplx.Pair, cell_id, normal_cp: bool):
     """One CP hypothesis. -> dict of [12]-batched results (3 ports x 4 qtr)."""
-    slot1 = ofdm_demod_slot(subframe[SLOT_LENGTH:2 * SLOT_LENGTH], normal_cp)
+    slot1 = ofdm_demod_slot(
+        cplx.index(subframe, (..., slice(SLOT_LENGTH, 2 * SLOT_LENGTH))),
+        normal_cp)
     v_shift = jnp.mod(cell_id, 6)
     l_idx, k_idx = _pbch_gather_indices(v_shift, normal_cp)
-    y = slot1[l_idx, k_idx]                                    # [E]
-    h = jnp.stack([_chest_port(slot1, cell_id, 1, p, normal_cp)[k_idx]
-                   for p in range(4)])                         # [4, E]
+    y = (slot1[0][l_idx, k_idx], slot1[1][l_idx, k_idx])       # pair [E]
+    h = [cplx.index(_chest_port(slot1, cell_id, 1, p, normal_cp),
+                    (k_idx,)) for p in range(4)]
 
     e_bits = E_BITS[normal_cp]
-    d_hyp = jnp.stack([_equalize(y, h, p) for p in (1, 2, 4)])  # [3, E]
-    llr = jnp.stack([d_hyp.real, d_hyp.imag], axis=-1).reshape(3, e_bits)
+    d_hyp = [(_equalize(y, h, p)) for p in (1, 2, 4)]
+    # LLRs: interleave re/im per RE -> [3 ports, e_bits]
+    llr = jnp.stack([jnp.stack([d[0], d[1]], axis=-1).reshape(e_bits)
+                     for d in d_hyp])
 
     signs = _gold_signs(scrambling.pbch_c_init(cell_id), 4 * e_bits)
-    signs_q = signs.reshape(4, e_bits)                          # [4, e]
+    signs_q = signs.reshape(4, e_bits)
     M = jnp.asarray(_dematch_onehot(normal_cp))                 # [4, e, 120]
-    # [3 ports, 4 quarters, 120]
     acc = jnp.einsum("pe,qe,qek->pqk", llr, signs_q, M)
     # 120 accumulated LLRs are stream-major [d0(40), d1(40), d2(40)];
     # the trellis consumes step-major triplets [40, 3].
@@ -220,8 +242,8 @@ def _decode_cp(subframe, cell_id, normal_cp: bool):
 
     bits, metric = viterbi_decode_tb(r)                         # [12, 40]
 
-    C = jnp.asarray(_crc_matrix())                              # [16, 24]
-    masks = jnp.asarray(_crc_masks())                           # [3, 16]
+    C = jnp.asarray(_crc_matrix())
+    masks = jnp.asarray(_crc_masks())
     payload = bits[:, :24].astype(jnp.float32)
     crc_calc = jnp.mod(payload @ C.T, 2.0)
     expect = jnp.mod(crc_calc + jnp.repeat(masks, 4, axis=0), 2.0)
@@ -247,11 +269,11 @@ def _unpack_fields(bits):
             "sfn_offset": (sfn << 2).astype(jnp.int32)}
 
 
-def mib_decode(subframe: jnp.ndarray, cell_id: jnp.ndarray,
+def mib_decode(subframe: cplx.Pair, cell_id: jnp.ndarray,
                normal_cp: jnp.ndarray):
     """Stateless single-subframe MIB decode attempt.
 
-    subframe:  [1920] complex64 (aligned: subframe 0 candidate)
+    subframe:  pair of [1920] float32 (aligned: subframe 0 candidate)
     cell_id:   int32 traced
     normal_cp: bool traced (selects which CP hypothesis's result is reported)
 

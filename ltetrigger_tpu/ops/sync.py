@@ -1,48 +1,51 @@
-"""CP detection and SSS decoding (jitted).
+"""CP detection and SSS decoding (jitted, real-pair).
 
 Replaces srslte_sync_detect_cp + srslte_sss_m0m1_partial + srslte_sss_N_id_1
 (reference lib/sss_impl.cc:104-124).  TPU shape: both CP hypotheses are
-evaluated unconditionally (no branches), and the m0/m1 search is two
-[31]x[31,31] matmuls against static cyclic-shift banks.
+evaluated unconditionally (no branches), the SSS symbol is demodulated by a
+[62, 128] DFT matmul, and the m0/m1 search is two [31]x[31,31] matmuls
+against static cyclic-shift banks.
 """
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..ltecore import pss as pssmod, sss as sssmod
+from ..ltecore import sss as sssmod
 from ..ltecore.constants import CP_EXT, CP_NORM, SLOT_LENGTH, SYMBOL_SZ
+from . import cplx, dft
 
 
-def detect_cp(aligned: jnp.ndarray) -> jnp.ndarray:
+def detect_cp(aligned: cplx.Pair) -> jnp.ndarray:
     """bool (True = Normal CP) from the 2 symbols preceding the PSS.
 
-    aligned: [..., >=960] complex64, PSS data at [832, 960).
+    aligned: pair of [..., >=960] float32, PSS data at [832, 960).
     """
     def score(cp: int):
-        num = jnp.zeros(aligned.shape[:-1], dtype=jnp.complex64)
-        den = jnp.full(aligned.shape[:-1], 1e-30, dtype=jnp.float32)
+        shape = aligned[0].shape[:-1]
+        num = cplx.zeros(shape)
+        den = jnp.full(shape, 1e-30, dtype=jnp.float32)
         pos = SLOT_LENGTH - SYMBOL_SZ
         for _ in range(2):
             pos -= SYMBOL_SZ + cp
-            c = aligned[..., pos - cp:pos]
-            t = aligned[..., pos + SYMBOL_SZ - cp:pos + SYMBOL_SZ]
-            num = num + jnp.sum(jnp.conj(t) * c, axis=-1)
-            den = den + 0.5 * (jnp.sum(jnp.abs(c) ** 2, axis=-1)
-                               + jnp.sum(jnp.abs(t) ** 2, axis=-1))
-        return jnp.abs(num) / den
+            c = cplx.index(aligned, (..., slice(pos - cp, pos)))
+            t = cplx.index(aligned,
+                           (..., slice(pos + SYMBOL_SZ - cp, pos + SYMBOL_SZ)))
+            num = cplx.add(num, cplx.dot_conj_sum(c, t))
+            den = den + 0.5 * (jnp.sum(cplx.abs2(c), axis=-1)
+                               + jnp.sum(cplx.abs2(t), axis=-1))
+        return jnp.sqrt(cplx.abs2(num)) / den
 
     return score(CP_NORM) >= score(CP_EXT)
 
 
-def sss_decode(aligned: jnp.ndarray, n_id_2: jnp.ndarray,
+def sss_decode(aligned: cplx.Pair, n_id_2: jnp.ndarray,
                normal_cp: jnp.ndarray):
     """SSS -> (n_id_1 [..., int32, -1 invalid], subframe5 [..., bool]).
 
-    aligned:   [..., 9600] complex64 peak-aligned half-frame
+    aligned:   pair of [..., 9600] peak-aligned half-frame
     n_id_2:    [...] int32 root index per batch element
     normal_cp: [...] bool (selects the SSS symbol position)
     """
-    bins = jnp.asarray(pssmod.subcarrier_bins())
     S = jnp.asarray(sssmod.shift_bank())          # [31, 31]
     cs = jnp.asarray(sssmod.c_scramble())         # [3, 2, 31]
     zb = jnp.asarray(sssmod.z_bank())             # [8, 31]
@@ -50,19 +53,23 @@ def sss_decode(aligned: jnp.ndarray, n_id_2: jnp.ndarray,
 
     idx_norm = SLOT_LENGTH - 2 * SYMBOL_SZ - CP_NORM
     idx_ext = SLOT_LENGTH - 2 * SYMBOL_SZ - CP_EXT
-    sym_n = aligned[..., idx_norm:idx_norm + SYMBOL_SZ]
-    sym_e = aligned[..., idx_ext:idx_ext + SYMBOL_SZ]
-    sym = jnp.where(normal_cp[..., None], sym_n, sym_e)
+    sym_n = cplx.index(aligned, (..., slice(idx_norm, idx_norm + SYMBOL_SZ)))
+    sym_e = cplx.index(aligned, (..., slice(idx_ext, idx_ext + SYMBOL_SZ)))
+    sym = cplx.where(normal_cp[..., None], sym_n, sym_e)
 
-    y = jnp.fft.fft(sym, axis=-1)[..., bins]      # [..., 62]
+    y = dft.dft_sync(sym)                         # pair of [..., 62]
     c0 = cs[n_id_2, 0]                            # [..., 31]
     c1 = cs[n_id_2, 1]
-    even = y[..., 0::2] * c0
-    odd0 = y[..., 1::2] * c1
+    even = cplx.index(y, (..., slice(0, None, 2)))
+    odd = cplx.index(y, (..., slice(1, None, 2)))
 
-    m0 = jnp.argmax(jnp.abs(even @ S.T), axis=-1).astype(jnp.int32)
-    z = zb[m0 % 8]                                # [..., 31]
-    m1 = jnp.argmax(jnp.abs((odd0 * z) @ S.T), axis=-1).astype(jnp.int32)
+    ce = cplx.scale(even, c0)                     # descramble (real +-1)
+    m0 = jnp.argmax(cplx.abs2(cplx.matmul_pair_real(ce, S.T)),
+                    axis=-1).astype(jnp.int32)
+    z = zb[m0 % 8]
+    co = cplx.scale(odd, c1 * z)
+    m1 = jnp.argmax(cplx.abs2(cplx.matmul_pair_real(co, S.T)),
+                    axis=-1).astype(jnp.int32)
 
     direct = tab[m0, m1]
     swapped = tab[m1, m0]

@@ -1,0 +1,114 @@
+"""Sharded detection: multi-channel scan-out and time-sharded streams.
+
+Two scaling patterns (BASELINE.md north star: "multi-channel wideband scan,
+N channels sharded across hosts; halo-exchange streaming"):
+
+  1. channel_scan — C independent monitored channels, sharded over the mesh
+     `ch` axis.  The trigger pipeline is vmapped over channels; XLA partitions
+     the batch with zero communication.  This preserves full streaming
+     state-machine semantics per channel.
+
+  2. time_sharded_scan — ONE stream split into D contiguous time blocks
+     (mesh `t` axis), each block scanned independently after a halo exchange
+     (ppermute) hands every shard the WINDOW-sized head of its right
+     neighbour, so no peak is lost at a seam.  Tracking state does not cross
+     seams (each block acquires independently) — the offline wide-area scan
+     trade-off, documented here rather than hidden.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ltecore.constants import DEFAULT_TRACK_AFTER, DEFAULT_TRACK_EVERY
+from ..models import trigger as trig
+
+
+# --------------------------------------------------------- channel scan ----
+def channel_scan(buffers: jnp.ndarray, n_steps: int, psr_threshold,
+                 mesh: Mesh | None = None,
+                 track_after: int = DEFAULT_TRACK_AFTER,
+                 track_every: int = DEFAULT_TRACK_EVERY):
+    """Run the scan engine over C channels, sharded over `ch`.
+
+    buffers: pair of [C, N] float32 (see ops/cplx.py), each padded like
+             trigger.scan_engine expects (LOOKBACK zero head + WINDOW tail).
+    returns: (final_states [C,...], StepOutput [n_steps, C, R, ...])
+    """
+    c = buffers[0].shape[0]
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (c,) + x.shape), trig.init_state())
+
+    def run(buf, st):
+        return trig.scan_engine(buf, st, n_steps, psr_threshold,
+                                track_after, track_every)
+
+    fn = jax.vmap(run)
+    if mesh is not None:
+        cs = NamedSharding(mesh, P("ch"))
+        buffers = jax.device_put(buffers, cs)
+        states = jax.device_put(states, cs)
+        fn = jax.jit(fn, in_shardings=(cs, cs), out_shardings=(cs, cs))
+    else:
+        fn = jax.jit(fn)
+    final, out = fn(buffers, states)
+    # out is [C, n_steps, R, ...] under vmap; transpose to [n_steps, C, R,...]
+    out = jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 0, 1), out)
+    return final, out
+
+
+# ----------------------------------------------------- time-sharded scan ---
+def halo_exchange_right(x_local: jnp.ndarray, halo: int,
+                        axis_name: str = "t") -> jnp.ndarray:
+    """Append the first `halo` samples of the right neighbour's block.
+
+    Inside shard_map: x_local [B] -> [B + halo].  The last shard receives
+    zeros (stream end).  The ring hop is one ppermute over ICI.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    head = x_local[:halo]
+    # send my head to my LEFT neighbour (so I receive my right neighbour's)
+    recv = jax.lax.ppermute(head, axis_name,
+                            [(i, (i - 1) % n) for i in range(n)])
+    recv = jnp.where(idx == n - 1, jnp.zeros_like(recv), recv)
+    return jnp.concatenate([x_local, recv])
+
+
+def time_sharded_scan(stream: jnp.ndarray, mesh: Mesh, psr_threshold,
+                      track_after: int = DEFAULT_TRACK_AFTER,
+                      track_every: int = DEFAULT_TRACK_EVERY):
+    """Scan one long stream with time blocks sharded over the `t` axis.
+
+    stream: pair of [N] float32 (unpadded).  N must divide evenly by the
+    t-axis size; pad the tail with zeros beforehand if needed.
+    returns StepOutput stacked [t_shards, steps_per_shard, R, ...].
+    """
+    n_t = mesh.shape["t"]
+    assert stream[0].shape[0] % n_t == 0
+    block = stream[0].shape[0] // n_t
+    halo = trig.WINDOW
+    steps = block // (trig.HALF_FRAME_LENGTH - trig.LOOKBACK - 1) + 1
+
+    def shard_fn(*x_local):
+        zh = jnp.zeros(trig.LOOKBACK, jnp.float32)
+        zt = jnp.zeros(trig.WINDOW, jnp.float32)
+        buf = tuple(jnp.concatenate(
+            [zh, halo_exchange_right(comp[0], halo), zt])
+            for comp in x_local)
+        # logical end: only peaks that *start* inside this block are ours;
+        # the halo exists so windows reaching past the seam stay valid.
+        n_valid = trig.LOOKBACK + block + halo
+        st, out = trig.scan_engine(buf, trig.init_state(), steps,
+                                   psr_threshold, track_after, track_every,
+                                   n_valid=n_valid)
+        return jax.tree_util.tree_map(lambda a: a[None], out)
+
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P("t"), P("t")), out_specs=P("t"),
+        check_vma=False))
+    return fn(stream[0].reshape(n_t, block), stream[1].reshape(n_t, block))

@@ -9,7 +9,7 @@ from ltetrigger_tpu.ltecore import refrx, synth
 from ltetrigger_tpu.ltecore.constants import (HALF_FRAME_LENGTH,
                                               PSS_SYMBOL_START, SYMBOL_SZ)
 from ltetrigger_tpu.ops import cfo as cfo_ops
-from ltetrigger_tpu.ops import correlate, pbch, resample, sync
+from ltetrigger_tpu.ops import correlate, cplx, pbch, resample, sync
 from tests.conftest import load_frame
 
 
@@ -23,7 +23,7 @@ class TestCorrelate:
     def test_power_matches_reference(self, frame6):
         iq, _ = frame6
         win = np.concatenate([iq, iq])[:correlate.WINDOW_LEN]
-        got = np.asarray(jax.jit(correlate.pss_correlate_power)(jnp.asarray(win)))
+        got = np.asarray(jax.jit(correlate.pss_correlate_power)(cplx.from_numpy(win)))
         for nid2 in range(3):
             ref = refrx.pss_correlate(win.astype(np.complex128), nid2)
             np.testing.assert_allclose(got[nid2], ref, rtol=2e-3, atol=1e-4)
@@ -31,7 +31,7 @@ class TestCorrelate:
     def test_peak_psr_matches_reference(self, frame6):
         iq, _ = frame6
         win = np.concatenate([iq, iq])[:correlate.WINDOW_LEN]
-        power = jax.jit(correlate.pss_correlate_power)(jnp.asarray(win))
+        power = jax.jit(correlate.pss_correlate_power)(cplx.from_numpy(win))
         peaks, psrs = jax.jit(correlate.peak_and_psr)(power)
         for nid2 in range(3):
             ref_pk, ref_psr = refrx.peak_and_psr(np.asarray(power[nid2]))
@@ -41,7 +41,8 @@ class TestCorrelate:
     def test_batched(self, frame6):
         iq, _ = frame6
         win = np.concatenate([iq, iq])[:correlate.WINDOW_LEN]
-        batch = jnp.stack([jnp.asarray(win)] * 4)
+        wp = cplx.from_numpy(win)
+        batch = (jnp.stack([wp[0]] * 4), jnp.stack([wp[1]] * 4))
         p = jax.jit(correlate.pss_correlate_power)(batch)
         assert p.shape == (4, 3, HALF_FRAME_LENGTH)
         np.testing.assert_allclose(p[0], p[3], rtol=1e-6)
@@ -56,8 +57,8 @@ class TestCfo:
         for cfo_true in (-0.9, -0.25, 0.0, 0.4, 0.9):
             n = np.arange(SYMBOL_SZ)
             rx = rep * np.exp(2j * np.pi * cfo_true / SYMBOL_SZ * n)
-            est = cfo_ops.cfo_estimate(jnp.asarray(rx.astype(np.complex64)),
-                                       jnp.asarray(rep))
+            est = cfo_ops.cfo_estimate(cplx.from_numpy(rx),
+                                       cplx.from_numpy(rep))
             assert abs(float(est) - cfo_true) < 0.02
 
     def test_correct_inverts_offset(self):
@@ -66,27 +67,27 @@ class TestCfo:
         n = np.arange(SYMBOL_SZ)
         cfo_true = 0.8
         rx = rep * np.exp(2j * np.pi * cfo_true / SYMBOL_SZ * n)
-        fixed = cfo_ops.cfo_correct(jnp.asarray(rx.astype(np.complex64)),
+        fixed = cfo_ops.cfo_correct(cplx.from_numpy(rx),
                                     jnp.asarray(-cfo_true / SYMBOL_SZ))
-        np.testing.assert_allclose(np.asarray(fixed), rep, atol=1e-5)
+        np.testing.assert_allclose(cplx.to_numpy(fixed), rep, atol=1e-5)
 
 
 class TestSync:
     def test_cp_detect_matches_reference(self, frame6):
         iq, _ = frame6
         aligned = iq[:HALF_FRAME_LENGTH]
-        got = bool(jax.jit(sync.detect_cp)(jnp.asarray(aligned)))
+        got = bool(jax.jit(sync.detect_cp)(cplx.from_numpy(aligned)))
         assert got == refrx.detect_cp(aligned.astype(np.complex128))
         assert got is True
 
     def test_cp_detect_extended(self):
         f = synth.synthesize_frame(300, nof_prb_field=25, normal_cp=False)
-        aligned = f[:HALF_FRAME_LENGTH].astype(np.complex64)
-        assert not bool(sync.detect_cp(jnp.asarray(aligned)))
+        aligned = f[:HALF_FRAME_LENGTH]
+        assert not bool(sync.detect_cp(cplx.from_numpy(aligned)))
 
     def test_sss_on_capture(self, frame6):
         iq, cell_id = frame6
-        aligned = jnp.asarray(iq[:HALF_FRAME_LENGTH])
+        aligned = cplx.from_numpy(iq[:HALF_FRAME_LENGTH])
         nid1, sub5 = jax.jit(sync.sss_decode)(
             aligned, jnp.int32(cell_id % 3), jnp.bool_(True))
         assert int(nid1) == cell_id // 3
@@ -94,7 +95,7 @@ class TestSync:
 
     def test_sss_subframe5(self, frame6):
         iq, cell_id = frame6
-        aligned = jnp.asarray(iq[HALF_FRAME_LENGTH:])
+        aligned = cplx.from_numpy(iq[HALF_FRAME_LENGTH:])
         nid1, sub5 = sync.sss_decode(aligned, jnp.int32(cell_id % 3),
                                      jnp.bool_(True))
         assert int(nid1) == cell_id // 3
@@ -102,7 +103,8 @@ class TestSync:
 
     def test_sss_batched_roots(self, frame6):
         iq, cell_id = frame6
-        aligned = jnp.stack([jnp.asarray(iq[:HALF_FRAME_LENGTH])] * 3)
+        ap = cplx.from_numpy(iq[:HALF_FRAME_LENGTH])
+        aligned = (jnp.stack([ap[0]] * 3), jnp.stack([ap[1]] * 3))
         nid1, _ = jax.vmap(sync.sss_decode)(
             aligned, jnp.arange(3, dtype=jnp.int32),
             jnp.ones(3, dtype=bool))
@@ -115,7 +117,7 @@ class TestResample:
         iq, _, rate = load_frame(nof_prb)
         ratio = int(rate / 1.92e6)
         x = iq[:ratio * 4096]
-        got = np.asarray(resample.decimate(jnp.asarray(x), ratio))
+        got = cplx.to_numpy(resample.decimate(cplx.from_numpy(x), ratio))
         ref = refrx.decimate(x.astype(np.complex128), ratio)
         np.testing.assert_allclose(got, ref.astype(np.complex64),
                                    rtol=2e-3, atol=2e-3)
@@ -125,7 +127,7 @@ class TestPbch:
     def test_decodes_capture(self, frame6):
         iq, cell_id = frame6
         out = jax.jit(pbch.mib_decode)(
-            jnp.asarray(iq[:1920]), jnp.int32(cell_id), jnp.bool_(True))
+            cplx.from_numpy(iq[:1920]), jnp.int32(cell_id), jnp.bool_(True))
         assert bool(out["found"])
         assert int(out["nof_prb"]) == 6
         assert int(out["nof_ports"]) == 1
@@ -135,13 +137,13 @@ class TestPbch:
 
     def test_wrong_cell_id_no_false_positive(self, frame6):
         iq, cell_id = frame6
-        out = pbch.mib_decode(jnp.asarray(iq[:1920]),
+        out = pbch.mib_decode(cplx.from_numpy(iq[:1920]),
                               jnp.int32(cell_id + 1), jnp.bool_(True))
         assert not bool(out["found"])
 
     def test_subframe5_no_decode(self, frame6):
         iq, cell_id = frame6
-        out = pbch.mib_decode(jnp.asarray(iq[9600:9600 + 1920]),
+        out = pbch.mib_decode(cplx.from_numpy(iq[9600:9600 + 1920]),
                               jnp.int32(cell_id), jnp.bool_(True))
         assert not bool(out["found"])
 
@@ -153,8 +155,8 @@ class TestPbch:
         cell_id = 451
         sf = synth.synthesize_pbch_subframe(
             cell_id, nof_prb_field=75, quarter=quarter,
-            nof_ports=nof_ports, normal_cp=normal_cp).astype(np.complex64)
-        out = pbch.mib_decode(jnp.asarray(sf), jnp.int32(cell_id),
+            nof_ports=nof_ports, normal_cp=normal_cp)
+        out = pbch.mib_decode(cplx.from_numpy(sf), jnp.int32(cell_id),
                               jnp.bool_(normal_cp))
         assert bool(out["found"])
         assert int(out["nof_prb"]) == 75
@@ -163,8 +165,7 @@ class TestPbch:
 
     def test_noise_rejected(self):
         rng = np.random.default_rng(7)
-        noise = (rng.normal(size=1920) + 1j * rng.normal(size=1920)) \
-            .astype(np.complex64)
-        out = pbch.mib_decode(jnp.asarray(noise), jnp.int32(123),
+        noise = rng.normal(size=1920) + 1j * rng.normal(size=1920)
+        out = pbch.mib_decode(cplx.from_numpy(noise), jnp.int32(123),
                               jnp.bool_(True))
         assert not bool(out["found"])

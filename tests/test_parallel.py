@@ -1,0 +1,94 @@
+"""Multi-device tests on the 8-way virtual CPU mesh — the distributed test
+layer the reference has no equivalent of (SURVEY §4: 'no distributed
+tests')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltetrigger_tpu.models import trigger as trig
+from ltetrigger_tpu.parallel import (channel_scan, make_mesh,
+                                     time_sharded_scan)
+from tests.conftest import load_frame
+
+
+def _padded(sig):
+    return np.concatenate([
+        np.zeros(trig.LOOKBACK, np.complex64), sig.astype(np.complex64),
+        np.zeros(trig.WINDOW, np.complex64)])
+
+
+def _pairify(stack_np):
+    return (jnp.asarray(stack_np.real.astype(np.float32)),
+            jnp.asarray(stack_np.imag.astype(np.float32)))
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["ch"] * mesh.shape["t"] == len(jax.devices())
+    mesh2 = make_mesh(n_channels=4, n_time=2)
+    assert mesh2.shape == {"ch": 4, "t": 2}
+
+
+def test_channel_scan_sharded_matches_local():
+    """8 channels sharded over 8 devices == unsharded vmap, event-for-event."""
+    iq, cell_id, _ = load_frame(6)
+    rng = np.random.default_rng(0)
+    sig = np.tile(iq, 3)
+    chans = []
+    for c in range(8):
+        if c % 2 == 0:
+            chans.append(_padded(sig))
+        else:
+            n = (rng.normal(size=sig.size) + 1j * rng.normal(size=sig.size))
+            chans.append(_padded(0.1 * n))
+    buffers = _pairify(np.stack(chans))
+
+    mesh = make_mesh(n_channels=8, n_time=1)
+    _, out_sharded = channel_scan(buffers, 5, 4.0, mesh=mesh)
+    _, out_local = channel_scan(buffers, 5, 4.0, mesh=None)
+
+    ev_s = np.asarray(out_sharded.track_event)
+    ev_l = np.asarray(out_local.track_event)
+    np.testing.assert_array_equal(ev_s, ev_l)
+    # signal channels (even) detect, noise channels don't
+    per_chan = ev_s.any(axis=(0, 2))
+    np.testing.assert_array_equal(per_chan, [True, False] * 4)
+    # detected ids correct
+    ids = np.asarray(out_sharded.cell_id)[ev_s]
+    assert set(ids.tolist()) == {cell_id}
+
+
+def test_time_sharded_scan_finds_cell_in_every_block():
+    """One long stream split over 4 time shards; halo exchange keeps seams
+    detection-safe and each block independently finds the cell."""
+    iq, cell_id, _ = load_frame(6)
+    sig = np.tile(iq, 8)                     # 8 frames -> 2 per t-shard
+    mesh = make_mesh(n_channels=2, n_time=4)
+    out = time_sharded_scan(_pairify(sig), mesh, 4.0)
+    ev = np.asarray(out.track_event)         # [4, steps, R]
+    assert ev.shape[0] == 4
+    found_per_shard = ev.any(axis=(1, 2))
+    assert found_per_shard.all(), f"missed in shards: {found_per_shard}"
+    ids = np.asarray(out.cell_id)[ev]
+    assert set(ids.tolist()) == {cell_id}
+
+
+def test_halo_exchange_unit():
+    from ltetrigger_tpu.parallel.sharded import halo_exchange_right
+    from jax.sharding import PartitionSpec as P
+    mesh = make_mesh(n_channels=1, n_time=8)
+    x = jnp.arange(64, dtype=jnp.float32)
+
+    def f(xl):
+        return halo_exchange_right(xl[0], 4)[None]
+
+    y = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=P("t"),
+                              out_specs=P("t"), check_vma=False))(
+        x.reshape(8, 8))
+    y = np.asarray(y)
+    # shard 0 holds [0..8) plus halo [8..12)
+    np.testing.assert_array_equal(y[0], list(range(8)) + [8, 9, 10, 11])
+    # last shard's halo is zeros
+    np.testing.assert_array_equal(y[7], list(range(56, 64)) + [0, 0, 0, 0])

@@ -100,9 +100,12 @@ def test_scan_engine_matches_streaming():
     iq, cell_id, _ = load_frame(6)
     sig = np.tile(iq, 4)
 
-    buffer = jnp.concatenate([
-        jnp.zeros(trig.LOOKBACK, jnp.complex64), jnp.asarray(sig),
-        jnp.zeros(trig.WINDOW, jnp.complex64)])
+    from ltetrigger_tpu.ops import cplx
+    sp = cplx.from_numpy(sig)
+    zh = jnp.zeros(trig.LOOKBACK, jnp.float32)
+    zt = jnp.zeros(trig.WINDOW, jnp.float32)
+    buffer = (jnp.concatenate([zh, sp[0], zt]),
+              jnp.concatenate([zh, sp[1], zt]))
     state = trig.init_state()
     _, out = trig.scan_engine(buffer, state, 7, 4.0)
     track_steps, track_roots = np.where(np.asarray(out.track_event))
