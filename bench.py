@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark: IQ samples/s/chip through the PSS+SSS correlator.
+
+Primary metric per BASELINE.md: the per-half-frame synchronization work of
+the full trigger — PSS matched filter over all 3 N_id_2 roots, peak + PSR
+extraction, peak alignment, CP detection, and SSS decode — measured as IQ
+samples processed per second on one chip.
+
+vs_baseline is relative to the reference's implied real-time operating point
+(1.92 Msps sustained through its 3-chain flowgraph on a laptop CPU,
+README.rst:92-104 / rtlsdr demo): i.e. how many real-time LTE sensing
+channels one TPU chip replaces.
+
+Prints exactly ONE JSON line.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+except Exception:
+    pass
+
+from ltetrigger_tpu.ltecore.constants import (HALF_FRAME_LENGTH,
+                                              PSS_SYMBOL_START)
+from ltetrigger_tpu.models import trigger as trig
+from ltetrigger_tpu.ops import correlate, cplx, sync
+
+BASELINE_SAMPLES_PER_S = 1.92e6   # reference real-time operating point
+
+
+def sync_block(windows):
+    """The benched unit: PSS correlate (3 roots) -> peak/PSR -> align ->
+    CP detect -> SSS decode, for a batch of windows.
+
+    windows: pair of [B, WINDOW_LEN + LOOKBACK] float32
+    """
+    srch = cplx.index(windows, (slice(None),
+                                slice(trig.LOOKBACK, trig.LOOKBACK
+                                      + correlate.WINDOW_LEN)))
+    power = correlate.pss_correlate_power(srch)        # [B, 3, 9600]
+    peak, psr = correlate.peak_and_psr(power)          # [B, 3]
+    best = jnp.argmax(psr, axis=-1).astype(jnp.int32)  # [B]
+    pk = jnp.take_along_axis(peak, best[:, None], axis=-1)[:, 0]
+    fs = jnp.clip(pk - trig.LOOKBACK, -trig.LOOKBACK, trig.MAX_FRAME_START)
+
+    def slice_one(w, f):
+        return jax.lax.dynamic_slice(w, (trig.LOOKBACK + f,),
+                                     (HALF_FRAME_LENGTH,))
+
+    aligned = (jax.vmap(slice_one)(windows[0], fs),
+               jax.vmap(slice_one)(windows[1], fs))
+    normal_cp = sync.detect_cp(aligned)
+    n_id_1, sub5 = sync.sss_decode(aligned, best, normal_cp)
+    cell_id = jnp.where(n_id_1 >= 0, 3 * n_id_1 + best, -1)
+    return psr, cell_id, normal_cp, sub5
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+
+    iq = np.fromfile(
+        "/root/reference/test_frames/lte_frame_6prb_cellid_123",
+        dtype=np.complex64)
+    stream = np.tile(iq, 1 + (trig.WINDOW * (batch + 1)) // iq.size)
+    wins = np.stack([
+        stream[i * HALF_FRAME_LENGTH:
+               i * HALF_FRAME_LENGTH + trig.WINDOW - HALF_FRAME_LENGTH]
+        for i in range(batch)])
+    windows = (jnp.asarray(wins.real.astype(np.float32)),
+               jnp.asarray(wins.imag.astype(np.float32)))
+
+    fn = jax.jit(sync_block)
+    out = fn(windows)
+    jax.block_until_ready(out)                      # compile + warm
+    # sanity: the capture's cell must be identified
+    cids = np.asarray(out[1])
+    assert (cids == 123).any(), f"bench kernel broken: cell ids {cids[:8]}"
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(windows)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    samples = batch * HALF_FRAME_LENGTH * iters
+    sps = samples / dt
+    print(json.dumps({
+        "metric": "pss_sss_sync_throughput",
+        "value": round(sps, 1),
+        "unit": "IQ samples/s/chip",
+        "vs_baseline": round(sps / BASELINE_SAMPLES_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,31 @@ Layers (bottom-up):
 
 __version__ = "0.1.0"
 
-from .ltecore import constants  # noqa: F401
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persist XLA compilations across processes.
+
+    TPU compiles in this environment go through a remote-compile tunnel and
+    cost minutes; the on-disk cache turns every repeat invocation (tests,
+    CLI, bench, driver checks) into a cache hit.  Safe no-op off-TPU.
+    """
+    cache = _os.environ.get("LTETRIGGER_COMPILE_CACHE",
+                            _os.path.join(_os.path.dirname(__file__),
+                                          _os.pardir, ".jax_cache"))
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          _os.path.abspath(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
+from .ltecore import constants  # noqa: F401,E402
 
 
 def __getattr__(name):

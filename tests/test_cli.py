@@ -1,0 +1,92 @@
+"""CLI parity tests (reference examples/cell_search_file.py interface)."""
+
+import json
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from ltetrigger_tpu.apps import cell_search_file as cli
+from ltetrigger_tpu.utils.eng_notation import num_to_str, str_to_num
+from tests.conftest import FRAMES, TEST_FRAMES_DIR
+
+
+def test_eng_notation():
+    assert str_to_num("15.36M") == 15.36e6
+    assert str_to_num("1.92M") == 1.92e6
+    assert str_to_num("192k") == 192e3
+    assert str_to_num("7") == 7.0
+    assert num_to_str(15.36e6) == "15.36M"
+    with pytest.raises(ValueError):
+        str_to_num("")
+
+
+def _frame_path(nof_prb):
+    name, _, _ = FRAMES[nof_prb]
+    p = TEST_FRAMES_DIR / name
+    if not p.exists():
+        pytest.skip("test vectors unavailable")
+    return str(p)
+
+
+def test_cli_finds_cell(capsys):
+    rc = cli.main([_frame_path(6), "-s", "1.92M", "--repeat",
+                   "--time-out", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Starting cell search" in out
+    payload = out[out.index("{"):]
+    rec = json.loads(payload)
+    assert rec["status"] == "FOUND"
+    assert rec["cell_id"] == 123
+    assert rec["nof_prb"] == 6
+    assert rec["cp_len"] == "Normal"
+
+
+def test_cli_resampled_cut_off(capsys):
+    rc = cli.main([_frame_path(25), "-s", "7.68M", "--repeat",
+                   "--time-out", "1", "-c", "7.68M", "--json-only"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["status"] == "FOUND" and rec["cell_id"] == 124
+
+
+def test_cli_not_found(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    noise = (0.1 * (rng.normal(size=19200) + 1j * rng.normal(size=19200))
+             ).astype(np.complex64)
+    f = tmp_path / "noise.iq"
+    noise.tofile(f)
+    rc = cli.main([str(f), "-s", "1.92M", "--time-out", "0.1",
+                   "--json-only"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec == {"status": "NOT_FOUND"}
+
+
+def test_cli_bad_rate(capsys):
+    rc = cli.main([_frame_path(6), "-s", "5M", "--json-only"])
+    assert rc == -1
+
+
+def test_cli_fifo_output(tmp_path, capsys):
+    fifo = str(tmp_path / "cells.fifo")
+    os.mkfifo(fifo)
+    got = {}
+
+    def reader():
+        with open(fifo, "rb") as fh:
+            got["data"] = fh.read()
+
+    t = threading.Thread(target=reader)
+    t.start()
+    rc = cli.main([_frame_path(6), "-s", "1.92M", "--repeat",
+                   "--time-out", "1", "--fifoname", fifo, "--json-only"])
+    t.join(timeout=30)
+    assert rc == 0
+    data = got["data"].decode()
+    length, _, body = data.partition("\n")
+    assert int(length) == len(body)
+    rec = json.loads(body)
+    assert rec["cell_id"] == 123 and rec["status"] == "FOUND"
