@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Detection-probability-vs-SNR sweep.
+
+Programmatic replacement for the reference's snr_ltetrigger.grc GUI demo
+(SURVEY §2.1: file source + noise source + adder + SNR meter, detection
+observed by eye).  Here the whole sweep is ONE batched device program: each
+SNR point becomes a channel of the multi-channel scan engine, so a 20-point
+curve costs one jit invocation (and shards across chips via the `ch` mesh
+axis when available).
+
+Library use:
+    from ltetrigger_tpu.apps.snr_sweep import snr_sweep
+    curve = snr_sweep(iq, sample_rate, snrs_db=range(-10, 11, 2))
+
+CLI:
+    python -m ltetrigger_tpu.apps.snr_sweep capture.iq -s 1.92M \\
+        --snr-min -10 --snr-max 10 --snr-step 2 [--seconds 0.5] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def snr_sweep(iq: np.ndarray, sample_rate: float, snrs_db,
+              seconds: float = 0.5, psr_threshold: float = 4.0,
+              seed: int = 0, mesh=None) -> list[dict]:
+    """Detection stats per SNR point. SNR = signal power / noise power."""
+    import jax.numpy as jnp
+
+    from ..ltecore.constants import SAMPLE_RATE
+    from ..models import api, trigger as trig
+    from ..parallel import channel_scan
+    from ..ops import resample, cplx
+
+    snrs_db = list(snrs_db)
+    ratio = int(round(sample_rate / SAMPLE_RATE))
+    base = cplx.to_numpy(resample.decimate(cplx.from_numpy(iq), ratio))
+    total = int(seconds * SAMPLE_RATE)
+    reps = -(-total // base.size)
+    sig = np.tile(base, reps)[:total]
+    sig = sig / np.sqrt(np.mean(np.abs(sig) ** 2) + 1e-30)
+
+    rng = np.random.default_rng(seed)
+    chans = []
+    for snr_db in snrs_db:
+        npow = 10 ** (-snr_db / 10.0)
+        noise = rng.normal(size=sig.size) + 1j * rng.normal(size=sig.size)
+        noise *= np.sqrt(npow / 2.0)
+        chans.append(sig + noise)
+    arr = np.stack(chans).astype(np.complex64)
+    pad_head = np.zeros((len(snrs_db), trig.LOOKBACK), np.complex64)
+    pad_tail = np.zeros((len(snrs_db), trig.WINDOW), np.complex64)
+    arr = np.concatenate([pad_head, arr, pad_tail], axis=1)
+    buffers = (jnp.asarray(arr.real.astype(np.float32)),
+               jnp.asarray(arr.imag.astype(np.float32)))
+
+    n_steps = total // (trig.HALF_FRAME_LENGTH - trig.LOOKBACK - 1) + 1
+    final, out = channel_scan(buffers, n_steps,
+                              api.ensure_safe_threshold(psr_threshold),
+                              mesh=mesh)
+
+    track = np.asarray(out.track_event)       # [steps, C, R]
+    psr = np.asarray(out.psr)
+    cell_ids = np.asarray(out.cell_id)
+    results = []
+    for c, snr_db in enumerate(snrs_db):
+        ev = track[:, c, :]
+        detected = bool(ev.any())
+        rec = {
+            "snr_db": float(snr_db),
+            "detected": detected,
+            "max_psr": float(psr[:, c, :].max()),
+            "mean_psr": float(psr[:, c, :].mean()),
+        }
+        if detected:
+            s, r = np.argwhere(ev)[0]
+            rec["cell_id"] = int(cell_ids[s, c, r])
+            rec["steps_to_detect"] = int(s)
+        results.append(rec)
+    return results
+
+
+def main(argv=None) -> int:
+    from .cell_search_file import eng_float, filetype
+
+    p = argparse.ArgumentParser(prog="snr_sweep")
+    p.add_argument("filename", type=filetype)
+    p.add_argument("-s", "--sample-rate", type=eng_float, required=True)
+    p.add_argument("--snr-min", type=float, default=-10)
+    p.add_argument("--snr-max", type=float, default=10)
+    p.add_argument("--snr-step", type=float, default=2)
+    p.add_argument("--seconds", type=float, default=0.5)
+    p.add_argument("--threshold", type=eng_float, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    iq = np.fromfile(args.filename, dtype=np.complex64)
+    snrs = np.arange(args.snr_min, args.snr_max + 1e-9, args.snr_step)
+    curve = snr_sweep(iq, args.sample_rate, snrs, seconds=args.seconds,
+                      psr_threshold=args.threshold, seed=args.seed)
+    print(json.dumps(curve, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
