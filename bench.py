@@ -83,14 +83,14 @@ def main():
     fn = jax.jit(sync_block)
     out = fn(windows)
     jax.block_until_ready(out)                      # compile + warm
-    # sanity: the capture's cell must be identified
-    cids = np.asarray(out[1])
-    assert (cids == 123).any(), f"bench kernel broken: cell ids {cids[:8]}"
 
-    # several timed repetitions, best taken: first reps can absorb stray
-    # runtime warts (dispatch tunnel hiccups, cache population)
+    # IMPORTANT: time BEFORE any device->host transfer.  On this runtime a
+    # D2H transfer degrades every subsequent dispatch to a ~10 ms
+    # synchronous round trip (measured: 9.5 Gsps before the first
+    # np.asarray, 113 Msps after) — so the correctness check moves to the
+    # end.  block_until_ready only fences execution and is safe.
     best_dt = float("inf")
-    for _ in range(4):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(windows)
@@ -99,6 +99,10 @@ def main():
 
     samples = batch * HALF_FRAME_LENGTH * iters
     sps = samples / best_dt
+
+    # sanity: the capture's cell must be identified (post-timing transfer)
+    cids = np.asarray(out[1])
+    assert (cids == 123).any(), f"bench kernel broken: cell ids {cids[:8]}"
     print(json.dumps({
         "metric": "pss_sss_sync_throughput",
         "value": round(sps, 1),

@@ -206,9 +206,30 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
     tagged = emit & (~lost) & sss_valid
 
     # --- MIB attempt (stateless per half-frame, like the reference's
-    #     pbch_decode_reset + ue_mib_decode) ---
+    #     pbch_decode_reset + ue_mib_decode).  The decode (OFDM + chest +
+    #     24 Viterbi hypotheses) is the step's heaviest block, and it only
+    #     matters when some root actually has a tagged half-frame and no
+    #     published cell — so the whole thing sits behind ONE scalar
+    #     lax.cond, which on TPU executes a single branch at runtime.
+    #     (The reference gets the same effect from mib_impl's early-outs,
+    #     lib/mib_impl.cc:122-135.) ---
     sf = cplx.index(aligned, (slice(None), slice(0, 2 * SLOT_LENGTH)))
-    mib = jax.vmap(pbch.mib_decode)(sf, cell_id, normal_cp)
+    want_mib = jnp.any(active & tagged & (~state.published))
+
+    def run_mib(operand):
+        sf_, cid_, ncp_ = operand
+        return jax.vmap(pbch.mib_decode)(sf_, cid_, ncp_)
+
+    def skip_mib(operand):
+        _, cid_, _ = operand
+        z = jnp.zeros_like(cid_)
+        return {"found": jnp.zeros(cid_.shape, bool), "nof_prb": z,
+                "nof_ports": z, "phich_ext": z, "phich_res": z,
+                "sfn_offset": z, "quarter": z,
+                "metric": jnp.zeros(cid_.shape, jnp.float32)}
+
+    mib = jax.lax.cond(want_mib, run_mib, skip_mib,
+                       (sf, cell_id, normal_cp))
     track_event = active & tagged & mib["found"] & (~state.published)
     drop_event = active & emit & lost & state.published
     published = (state.published | track_event) & ~drop_event
