@@ -156,6 +156,17 @@ class Trigger:
         self._step = jax.jit(functools.partial(
             trig.trigger_step, track_after=track_after,
             track_every=track_every))
+        # multi-step scan over a buffered chunk: amortizes the per-dispatch
+        # round trip (~10 ms on tunneled runtimes) over scan_chunk steps
+        self.scan_chunk = 8
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def _scan(buffer, state, thresh, n_valid, n_steps):
+            return trig.scan_engine(buffer, state, n_steps, thresh,
+                                    track_after, track_every,
+                                    n_valid=n_valid)
+
+        self._scan = _scan
 
     # -- telemetry (reference lib/pss_impl.h:95-100; [3] per-root arrays) --
     @property
@@ -186,7 +197,12 @@ class Trigger:
     # ---------------------------------------------------------------------
     def process(self, samples: np.ndarray) -> list[Cell]:
         """Consume a chunk of complex64 at 1.92 Msps; returns cells published
-        during this chunk."""
+        during this chunk.
+
+        Steps run `scan_chunk` at a time inside one device dispatch (a
+        lax.scan over the buffered region); roots whose window would run
+        past the buffered data freeze inside the scan and resume next call.
+        """
         if self.done:
             return []
         self._buf = np.concatenate(
@@ -194,39 +210,71 @@ class Trigger:
         published: list[Cell] = []
 
         while True:
-            pos = np.asarray(self._state.pos)          # absolute in-pointers
-            starts = pos - LOOKBACK - self._base
-            if np.any(starts < 0) or \
-               np.any(starts + WINDOW > len(self._buf)):
+            nbuf = len(self._buf)
+            pos_rel = np.asarray(self._state.pos) - self._base
+            if not np.any(pos_rel + (WINDOW - LOOKBACK) <= nbuf):
                 break
-            windows = np.stack([self._buf[s:s + WINDOW] for s in starts])
-            wpair = (jnp.asarray(windows.real.astype(np.float32)),
-                     jnp.asarray(windows.imag.astype(np.float32)))
-            self._state, out = self._step(
-                self._state, wpair, jnp.float32(self.psr_threshold))
+            buf = self._buf
+            if nbuf < WINDOW:
+                buf = np.concatenate(
+                    [buf, np.zeros(WINDOW - nbuf, np.complex64)])
+            bpair = (jnp.asarray(buf.real.astype(np.float32)),
+                     jnp.asarray(buf.imag.astype(np.float32)))
+            rel_state = self._state._replace(
+                pos=jnp.asarray(pos_rel.astype(np.int32)))
+            rel_state, out = self._scan(
+                bpair, rel_state, jnp.float32(self.psr_threshold),
+                jnp.int32(nbuf), self.scan_chunk)
+            self._state = rel_state._replace(
+                pos=rel_state.pos + jnp.int32(self._base))
             host = jax.tree_util.tree_map(np.asarray, out)
-            for r in range(host.track_event.shape[0]):
-                if host.drop_event[r]:
-                    cid = int(host.drop_cell_id[r])
-                    self.cellstore.drop_cell_id(cid)
-                    if self.on_drop:
-                        self.on_drop(cid)
-                if host.track_event[r]:
-                    cell = cell_from_step(
-                        host.cell_id[r], host.nof_prb[r], host.nof_ports[r],
-                        host.phich_ext[r], host.phich_res[r],
-                        host.sfn_offset[r], bool(host.normal_cp[r]))
-                    self.cellstore.track_cell(cell)
-                    published.append(cell)
-                    if self.on_track:
-                        self.on_track(cell)
-                    if self.exit_on_success:
-                        self.done = True
-                        return published
+            any_progress = bool(np.any(host.consumed))
+            for s in range(host.track_event.shape[0]):
+                for r in range(host.track_event.shape[1]):
+                    if host.drop_event[s, r]:
+                        cid = int(host.drop_cell_id[s, r])
+                        self.cellstore.drop_cell_id(cid)
+                        if self.on_drop:
+                            self.on_drop(cid)
+                    if host.track_event[s, r]:
+                        cell = cell_from_step(
+                            host.cell_id[s, r], host.nof_prb[s, r],
+                            host.nof_ports[s, r], host.phich_ext[s, r],
+                            host.phich_res[s, r], host.sfn_offset[s, r],
+                            bool(host.normal_cp[s, r]))
+                        self.cellstore.track_cell(cell)
+                        published.append(cell)
+                        if self.on_track:
+                            self.on_track(cell)
+                        if self.exit_on_success:
+                            self.done = True
+                            return published
             # discard samples no longer reachable by any root
             keep_from = int(np.min(np.asarray(self._state.pos))
                             - LOOKBACK - self._base)
             if keep_from > 0:
                 self._buf = self._buf[keep_from:]
                 self._base += keep_from
+            if not any_progress:
+                break
         return published
+
+    # ------------------------------------------------------- checkpoint --
+    def save_state(self, path: str) -> None:
+        """Checkpoint the full streaming state (carry + buffered samples) so
+        a long-running monitor can resume after restart — an aux capability
+        the reference lacks (SURVEY §5: 'Checkpoint/resume: none')."""
+        fields = {f"state_{k}": np.asarray(v)
+                  for k, v in self._state._asdict().items()}
+        np.savez(path, buf=self._buf, base=self._base,
+                 psr_threshold=self.psr_threshold, done=self.done, **fields)
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        kw = {k[len("state_"):]: jnp.asarray(data[k])
+              for k in data.files if k.startswith("state_")}
+        self._state = trig.TriggerState(**kw)
+        self._buf = data["buf"]
+        self._base = int(data["base"])
+        self.psr_threshold = float(data["psr_threshold"])
+        self.done = bool(data["done"])

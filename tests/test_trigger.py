@@ -132,3 +132,30 @@ def test_extended_cp_cell_via_search():
     assert cells[0].cp_len == "Extended"
     assert cells[0].nof_tx_ports == 2
     assert cells[0].nof_prb == 25
+
+
+def test_checkpoint_resume(tmp_path):
+    """Streaming state survives a save/load cycle mid-acquisition."""
+    iq, cell_id, _ = load_frame(6)
+    lane = cell_id % 3
+
+    t1 = api.Trigger(psr_threshold=4)
+    t1.process(np.tile(iq, 4))          # partially acquired (score < 16)
+    score_before = int(t1.tracking_score[lane])
+    assert 0 < score_before < 16
+
+    ckpt = str(tmp_path / "trigger.npz")
+    t1.save_state(ckpt)
+
+    t2 = api.Trigger(psr_threshold=4)
+    t2.load_state(ckpt)
+    assert int(t2.tracking_score[lane]) == score_before
+
+    # both continue identically
+    more = np.tile(iq, 8)
+    t1.process(more)
+    t2.process(more)
+    np.testing.assert_array_equal(t1.tracking_score, t2.tracking_score)
+    np.testing.assert_array_equal(t1.tracking, t2.tracking)
+    np.testing.assert_allclose(t1.mean_psr, t2.mean_psr, rtol=1e-6)
+    assert t2.tracking[lane]
