@@ -136,8 +136,8 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
     #     consults its own lane of the [R, 3, 9600] result ---
     srch = cplx.index(windows,
                       (slice(None), slice(LOOKBACK,
-                                          LOOKBACK + correlate.WINDOW_LEN)))
-    power_all = correlate.pss_correlate_power(srch)
+                                          LOOKBACK + correlate.V2_WINDOW)))
+    power_all = correlate.pss_correlate_power_v2(srch)
     power = power_all[jnp.arange(R), jnp.arange(R)]            # [R, 9600]
     ema = jnp.where(search[:, None],
                     PSR_EMA_ALPHA * power + (1 - PSR_EMA_ALPHA) * state.ema,

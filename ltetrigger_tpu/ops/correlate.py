@@ -63,6 +63,76 @@ def pss_correlate_power(window: cplx.Pair) -> jnp.ndarray:
     return y[..., 0, :] ** 2 + y[..., 1, :] ** 2
 
 
+# ----------------------------------------------------------------------
+# v2: blocked-Toeplitz matmul formulation.
+#
+# Split the window into non-overlapping 128-sample blocks X[j].  For output
+# positions p in block j:
+#     c[128 j + p] = sum_k x[128 j + p + k] w[k]
+#                  = X[j]   @ WL[:, p]   (taps that stay in block j)
+#                  + X[j+1] @ WU[:, p]   (taps that spill into block j+1)
+# with static banded-triangular weights WL[q, p] = w[q - p] (q >= p) and
+# WU[q, p] = w[q + 128 - p] (q < p).  Stacking {3 roots} x {re/im out} x
+# {re/im in} into the weight matrices turns the whole correlation into TWO
+# dense [75, 256] @ [256, 768] matmuls per window — the MXU's native shape,
+# with no im2col gather and no FFT.
+# ----------------------------------------------------------------------
+V2_WINDOW = HALF_FRAME_LENGTH + SYMBOL_SZ        # 9728 samples read
+
+
+@functools.lru_cache(maxsize=None)
+def _toeplitz_weights():
+    """(WL, WU): [256, 768] float32 each.
+
+    Contraction axis: [x_re block (128), x_im block (128)].
+    Output axis: [root, comp, p] flattened as root * 256 + comp * 128 + p
+    with comp 0 = re, 1 = im.
+    """
+    rr, ri = cplx.const(pssmod.pss_time())       # [3, 128]
+    WL = np.zeros((2, 128, N_ROOTS, 2, 128), dtype=np.float32)
+    WU = np.zeros((2, 128, N_ROOTS, 2, 128), dtype=np.float32)
+    q = np.arange(128)
+    for t in range(N_ROOTS):
+        for p in range(128):
+            lo = q >= p            # tap index k = q - p in [0, 128)
+            hi = q < p             # tap index k = q + 128 - p
+            # re(c) = x_re*w_re + x_im*w_im ; im(c) = x_im*w_re - x_re*w_im
+            WL[0, lo, t, 0, p] = rr[t][q[lo] - p]
+            WL[1, lo, t, 0, p] = ri[t][q[lo] - p]
+            WL[0, lo, t, 1, p] = -ri[t][q[lo] - p]
+            WL[1, lo, t, 1, p] = rr[t][q[lo] - p]
+            WU[0, hi, t, 0, p] = rr[t][q[hi] + 128 - p]
+            WU[1, hi, t, 0, p] = ri[t][q[hi] + 128 - p]
+            WU[0, hi, t, 1, p] = -ri[t][q[hi] + 128 - p]
+            WU[1, hi, t, 1, p] = rr[t][q[hi] + 128 - p]
+    return (WL.reshape(256, N_ROOTS * 256),
+            WU.reshape(256, N_ROOTS * 256))
+
+
+def pss_correlate_power_v2(window: cplx.Pair) -> jnp.ndarray:
+    """Same contract as pss_correlate_power, via blocked-Toeplitz matmuls.
+
+    window: pair of [..., >= V2_WINDOW] float32
+    returns: [..., 3, SEARCH_LEN] float32
+    """
+    wr, wi = window
+    batch = wr.shape[:-1]
+    nblk = HALF_FRAME_LENGTH // SYMBOL_SZ            # 75
+    x0 = jnp.concatenate(
+        [wr[..., :HALF_FRAME_LENGTH].reshape(batch + (nblk, SYMBOL_SZ)),
+         wi[..., :HALF_FRAME_LENGTH].reshape(batch + (nblk, SYMBOL_SZ))],
+        axis=-1)                                     # [..., 75, 256]
+    x1 = jnp.concatenate(
+        [wr[..., SYMBOL_SZ:V2_WINDOW].reshape(batch + (nblk, SYMBOL_SZ)),
+         wi[..., SYMBOL_SZ:V2_WINDOW].reshape(batch + (nblk, SYMBOL_SZ))],
+        axis=-1)
+    WL, WU = _toeplitz_weights()
+    c = x0 @ jnp.asarray(WL) + x1 @ jnp.asarray(WU)  # [..., 75, 768]
+    c = c.reshape(batch + (nblk, N_ROOTS, 2, SYMBOL_SZ))
+    power = c[..., 0, :] ** 2 + c[..., 1, :] ** 2    # [..., 75, 3, 128]
+    return jnp.moveaxis(power, -3, -2).reshape(batch + (N_ROOTS, SEARCH_LEN))
+
+
 def peak_and_psr(power: jnp.ndarray, lobe_limit: int = 64):
     """Peak position and peak-to-sidelobe ratio (power domain).
 

@@ -169,3 +169,31 @@ class TestPbch:
         out = pbch.mib_decode(cplx.from_numpy(noise), jnp.int32(123),
                               jnp.bool_(True))
         assert not bool(out["found"])
+
+
+class TestCorrelateV2:
+    def test_v2_matches_v1(self, frame6):
+        iq, _ = frame6
+        win = np.concatenate([iq, iq])[:correlate.V2_WINDOW]
+        wp = cplx.from_numpy(win)
+        p1 = np.asarray(correlate.pss_correlate_power(wp))
+        p2 = np.asarray(correlate.pss_correlate_power_v2(wp))
+        np.testing.assert_allclose(p2, p1, rtol=5e-3, atol=1e-4)
+        # peak/PSR decisions must agree exactly
+        pk1, psr1 = correlate.peak_and_psr(jnp.asarray(p1))
+        pk2, psr2 = correlate.peak_and_psr(jnp.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(pk1), np.asarray(pk2))
+        np.testing.assert_allclose(np.asarray(psr1), np.asarray(psr2),
+                                   rtol=5e-3)
+
+    def test_pallas_kernel_interpret(self, frame6):
+        from jax.experimental.pallas import tpu as pltpu
+        from ltetrigger_tpu.ops.pallas import matched_filter as mf
+        iq, _ = frame6
+        win = np.concatenate([iq, iq])[:correlate.V2_WINDOW]
+        wp = cplx.from_numpy(win)
+        batch = (jnp.stack([wp[0]] * 2), jnp.stack([wp[1]] * 2))
+        ref = np.asarray(correlate.pss_correlate_power_v2(batch))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(mf.pss_correlate_power_pallas(batch))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
