@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Live cell monitor: stream IQ in, live telemetry + tracked cells out.
+
+The reference's rtlsdr_ltetrigger.grc demo (osmosdr source -> trigger, QT
+probes polling tracking_score / latest_cell) rebuilt as a headless tool: any
+SDR process pipes raw complex64 at 1.92 Msps into stdin or a FIFO,
+
+    rtl_sdr ... | csdr convert_u8_c | ... | \\
+        python -m ltetrigger_tpu.apps.live_monitor -
+
+and the monitor prints a status line per refresh plus JSON events for every
+tracked/dropped cell.  The probe surface (per-root tracking_score, mean_psr,
+mean_cfo, max_psr, latest_cell) is exactly what the GRC function probes
+polled (reference lib/pss_impl.h:95-100, cellstore query API).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run(stream, psr_threshold: float = 4.0, chunk_samples: int = 19200,
+        refresh_every: int = 10, out=sys.stdout, max_chunks=None) -> None:
+    from ..models import api
+
+    def on_track(cell):
+        print(json.dumps({"event": "track", **cell.to_dict()}), file=out,
+              flush=True)
+
+    def on_drop(cell_id):
+        print(json.dumps({"event": "drop", "cell_id": cell_id}), file=out,
+              flush=True)
+
+    trig = api.Trigger(psr_threshold=psr_threshold, on_track=on_track,
+                       on_drop=on_drop)
+    n = 0
+    t0 = time.time()
+    while max_chunks is None or n < max_chunks:
+        raw = stream.read(chunk_samples * 8)
+        if not raw:
+            break
+        samples = np.frombuffer(raw, dtype=np.complex64)
+        trig.process(samples)
+        n += 1
+        if n % refresh_every == 0:
+            score = trig.tracking_score
+            status = {
+                "t": round(time.time() - t0, 1),
+                "tracking_score": score.tolist(),
+                "tracking": trig.tracking.tolist(),
+                "mean_psr": np.round(trig.mean_psr, 2).tolist(),
+                "max_psr": np.round(trig.max_psr, 2).tolist(),
+                "mean_cfo": np.round(trig.mean_cfo, 4).tolist(),
+                "cells": [c.cell_id for c in trig.cellstore.cells()],
+            }
+            print(json.dumps({"event": "status", **status}), file=out,
+                  flush=True)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="live_monitor")
+    p.add_argument("source",
+                   help="'-' for stdin, or a path (FIFO / growing file) "
+                        "of raw complex64 at 1.92 Msps")
+    p.add_argument("--threshold", type=float, default=4.0)
+    p.add_argument("--chunk", type=int, default=19200,
+                   help="samples per read (default: one radio frame)")
+    p.add_argument("--refresh", type=int, default=10,
+                   help="status line every N chunks")
+    args = p.parse_args(argv)
+
+    stream = sys.stdin.buffer if args.source == "-" else \
+        open(args.source, "rb")
+    try:
+        run(stream, psr_threshold=args.threshold, chunk_samples=args.chunk,
+            refresh_every=args.refresh)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if stream is not sys.stdin.buffer:
+            stream.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -90,3 +90,27 @@ def test_cli_fifo_output(tmp_path, capsys):
     assert int(length) == len(body)
     rec = json.loads(body)
     assert rec["cell_id"] == 123 and rec["status"] == "FOUND"
+
+
+def test_live_monitor(tmp_path, capsys):
+    """Pipe a looped capture through the live monitor; status lines and a
+    track event must appear (rtlsdr-demo probe parity)."""
+    import io
+    import json as _json
+
+    from ltetrigger_tpu.apps import live_monitor
+
+    iq, cell_id, _ = __import__("tests.conftest", fromlist=["load_frame"]) \
+        .load_frame(6)
+    data = np.tile(iq, 12).tobytes()
+    out = io.StringIO()
+    live_monitor.run(io.BytesIO(data), psr_threshold=4.0, refresh_every=4,
+                     out=out)
+    events = [_json.loads(line) for line in out.getvalue().splitlines()]
+    kinds = {e["event"] for e in events}
+    assert "status" in kinds and "track" in kinds
+    track = next(e for e in events if e["event"] == "track")
+    assert track["cell_id"] == cell_id
+    status = [e for e in events if e["event"] == "status"][-1]
+    assert status["tracking"][cell_id % 3]
+    assert status["cells"] == [cell_id]

@@ -159,3 +159,32 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(t1.tracking, t2.tracking)
     np.testing.assert_allclose(t1.mean_psr, t2.mean_psr, rtol=1e-6)
     assert t2.tracking[lane]
+
+
+def test_cfo_recovery_end_to_end():
+    """A 0.2-subcarrier CFO (3 kHz) breaks uncorrected PBCH decode but
+    keeps the PSS PSR over threshold; after acquisition (16 half-frames)
+    the running-mean CFO correction kicks in (reference
+    lib/pss_impl.cc:197-204) and the MIB decodes.  (Larger CFOs lower the
+    PSS correlation peak below threshold 4 — same physics as srsLTE.)"""
+    f = synth.synthesize_frame(123, nof_prb_field=25)
+    n = np.arange(f.size, dtype=np.float64)
+    cfo = 0.2  # subcarrier spacings
+    rx = (f * np.exp(2j * np.pi * cfo / 128.0 * n)).astype(np.complex64)
+
+    # sanity: without correction the subframe must NOT decode
+    from ltetrigger_tpu.ltecore import refrx
+    assert refrx.mib_decode_subframe(rx[:1920].astype(np.complex128),
+                                     123) is None
+
+    cells = api.search(rx, 1.92e6, psr_threshold=4, max_seconds=0.5)
+    assert cells and cells[0].cell_id == 123
+    assert cells[0].nof_prb == 25
+
+    # telemetry: the estimated CFO must match the injected one
+    store = CellStore()
+    t = api.Trigger(psr_threshold=4, cellstore=store)
+    t.process(np.tile(rx, 25))
+    lane = 123 % 3
+    assert t.tracking[lane]
+    assert abs(t.mean_cfo[lane] - cfo) < 0.05
