@@ -70,6 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "[default=%(default)s]")
     p.add_argument("--fifoname", default=None, required=False,
                    help="FIFO name to which to write output")
+    p.add_argument("--gui", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--debug", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--json-only", action="store_true",
                    help="suppress progress text; print only JSON")
     return p
@@ -78,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     logging.basicConfig()
     args = build_parser().parse_args(argv)
+
+    if args.debug:
+        print(f"Blocked waiting for debugger attach (pid = {os.getpid()})")
+        input("Press enter to continue...")
 
     from ..ltecore.constants import SAMPLE_RATE
     from ..models import api
