@@ -100,3 +100,17 @@ def test_file_source_repeat(have_native, tmp_path):
     src2 = native.FileSource(str(f), repeat=False)
     assert src2.read(250).size == 100
     assert src2.read(10).size == 0
+
+
+def test_cpp_unit_suite():
+    """Build and run the native C++ test binary (the reference's CppUnit
+    suite is empty and unregistered; this one is real)."""
+    import subprocess
+    cpp_dir = native._CPP_DIR
+    try:
+        r = subprocess.run(["make", "-C", cpp_dir, "test"],
+                           capture_output=True, text=True, timeout=120)
+    except FileNotFoundError:
+        pytest.skip("no make toolchain")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "all C++ frontend tests passed" in r.stdout

@@ -197,3 +197,16 @@ class TestCorrelateV2:
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(mf.pss_correlate_power_pallas(batch))
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestPssChest:
+    def test_flat_channel_on_capture(self, frame6):
+        """PSS LS channel estimate (telemetry parity: the reference computes
+        it into a never-consumed buffer, lib/pss_impl.cc:206-209) — on the
+        synthetic capture the channel is flat, so all 62 estimates agree."""
+        iq, cell_id = frame6
+        sym = cplx.from_numpy(iq[PSS_SYMBOL_START:PSS_SYMBOL_START + 128])
+        h = cfo_ops.pss_chest(sym, n_id_2=cell_id % 3)
+        hv = np.asarray(h[0]) + 1j * np.asarray(h[1])
+        assert np.std(np.abs(hv)) / np.mean(np.abs(hv)) < 0.05
+        assert np.std(np.angle(hv * np.exp(-1j * np.angle(hv.mean())))) < 0.1
