@@ -47,7 +47,7 @@ def sync_block(windows):
     srch = cplx.index(windows, (slice(None),
                                 slice(trig.LOOKBACK, trig.LOOKBACK
                                       + correlate.V2_WINDOW)))
-    power = correlate.pss_correlate_power_v2(srch)     # [B, 3, 9600]
+    power = correlate.default_power(srch)              # [B, 3, 9600]
     peak, psr = correlate.peak_and_psr(power)          # [B, 3]
     best = jnp.argmax(psr, axis=-1).astype(jnp.int32)  # [B]
     pk = jnp.take_along_axis(peak, best[:, None], axis=-1)[:, 0]
@@ -67,7 +67,7 @@ def sync_block(windows):
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    iters = int(os.environ.get("BENCH_ITERS", "200"))
 
     iq = np.fromfile(
         "/root/reference/test_frames/lte_frame_6prb_cellid_123",

@@ -137,7 +137,7 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
     srch = cplx.index(windows,
                       (slice(None), slice(LOOKBACK,
                                           LOOKBACK + correlate.V2_WINDOW)))
-    power_all = correlate.pss_correlate_power_v2(srch)
+    power_all = correlate.default_power(srch)
     power = power_all[jnp.arange(R), jnp.arange(R)]            # [R, 9600]
     ema = jnp.where(search[:, None],
                     PSR_EMA_ALPHA * power + (1 - PSR_EMA_ALPHA) * state.ema,
