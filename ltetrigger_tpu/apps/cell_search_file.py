@@ -89,12 +89,13 @@ def main(argv=None) -> int:
     from ..models import api
     from ..runtime.cellstore import CellStore
 
+    from fractions import Fraction
+
     iq = np.fromfile(args.filename, dtype=np.complex64)
-    ratio = args.sample_rate / SAMPLE_RATE
-    if ratio != int(ratio):
+    frac = Fraction(args.sample_rate / SAMPLE_RATE).limit_denominator(1000)
+    if abs(float(frac) - args.sample_rate / SAMPLE_RATE) > 1e-9:
         logging.getLogger("cell_search_file").error(
-            "Sample rate %.2f MHz is not a multiple of 1.92 MHz. "
-            "Arbitrary resampling not supported at this time.",
+            "Sample rate %.2f MHz is not a rational multiple of 1.92 MHz.",
             args.sample_rate / 1e6)
         return -1
 

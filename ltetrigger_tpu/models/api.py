@@ -44,14 +44,22 @@ def _scan_jit(buffer, state, psr_threshold, n_valid, n_steps,
 
 def _prepare_buffer(iq: np.ndarray, sample_rate: float,
                     repeat_to: Optional[int] = None) -> jnp.ndarray:
-    """Decimate to 1.92 Msps on device, loop to `repeat_to` samples, pad."""
-    ratio = sample_rate / SAMPLE_RATE
-    if abs(ratio - round(ratio)) > 1e-9:
+    """Resample to 1.92 Msps on device, loop to `repeat_to` samples, pad.
+
+    Integer ratios use the strided-conv decimator; any other rational rate
+    goes through the polyphase rational resampler (a capability the
+    reference refuses — examples/cell_search_file.py:50-54)."""
+    from fractions import Fraction
+    frac = Fraction(sample_rate / SAMPLE_RATE).limit_denominator(1000)
+    if abs(float(frac) - sample_rate / SAMPLE_RATE) > 1e-9:
         raise ValueError(
-            f"Sample rate {sample_rate/1e6:.2f} MHz is not a multiple of "
-            "1.92 MHz. Arbitrary resampling not supported at this time.")
-    ratio = int(round(ratio))
-    x = resample.decimate(cplx.from_numpy(np.ascontiguousarray(iq)), ratio)
+            f"Sample rate {sample_rate/1e6:.2f} MHz is not a rational "
+            "multiple of 1.92 MHz")
+    xp = cplx.from_numpy(np.ascontiguousarray(iq))
+    if frac.denominator == 1:
+        x = resample.decimate(xp, frac.numerator)
+    else:
+        x = resample.rational_resample(xp, frac.denominator, frac.numerator)
     n = x[0].shape[0]
     if repeat_to is not None and repeat_to > n:
         reps = -(-repeat_to // n)

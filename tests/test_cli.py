@@ -66,7 +66,9 @@ def test_cli_not_found(tmp_path, capsys):
 
 
 def test_cli_bad_rate(capsys):
-    rc = cli.main([_frame_path(6), "-s", "5M", "--json-only"])
+    # 5 MHz used to be rejected (reference behavior); the rational
+    # resampler now accepts any p/q rate, so only non-rational rates fail
+    rc = cli.main([_frame_path(6), "-s", "1.9200001M", "--json-only"])
     assert rc == -1
 
 

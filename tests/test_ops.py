@@ -210,3 +210,42 @@ class TestPssChest:
         hv = np.asarray(h[0]) + 1j * np.asarray(h[1])
         assert np.std(np.abs(hv)) / np.mean(np.abs(hv)) < 0.05
         assert np.std(np.angle(hv * np.exp(-1j * np.angle(hv.mean())))) < 0.1
+
+
+class TestRationalResample:
+    def test_tone_preserved(self):
+        fs, n = 10e6, 50000
+        t = np.arange(n) / fs
+        sig = np.exp(2j * np.pi * 200e3 * t).astype(np.complex64)
+        y = cplx.to_numpy(resample.rational_resample(
+            cplx.from_numpy(sig), 24, 125))          # 10 MHz -> 1.92 MHz
+        assert y.size == n * 24 // 125
+        t2 = np.arange(y.size) * 125 / (24 * fs)
+        ref = np.exp(2j * np.pi * 200e3 * t2)
+        assert np.abs(y[200:-200] - ref[200:-200]).max() < 0.01
+
+    def test_integer_path_consistent(self):
+        rng = np.random.default_rng(0)
+        x = (rng.normal(size=8192) + 1j * rng.normal(size=8192)) \
+            .astype(np.complex64)
+        a = cplx.to_numpy(resample.rational_resample(cplx.from_numpy(x), 1, 4))
+        b = cplx.to_numpy(resample.decimate(cplx.from_numpy(x), 4))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_search_from_3mhz(self, frame6):
+        """End-to-end: a capture 'recorded' at 3 MHz (up 25/16 host
+        interpolation) searches fine via the rational path — a rate the
+        reference rejects outright."""
+        from ltetrigger_tpu.models import api
+        iq, cell_id = frame6
+        # FFT-interpolate 1.92M -> 3.0M (x25/16)
+        F = np.fft.fft(iq.astype(np.complex128))
+        n = iq.size
+        nw = n * 25 // 16
+        Fw = np.zeros(nw, dtype=np.complex128)
+        Fw[:n // 2] = F[:n // 2]
+        Fw[-n // 2:] = F[-n // 2:]
+        wide = (np.fft.ifft(Fw) * (nw / n)).astype(np.complex64)
+        cells = api.search(wide, 3.0e6, psr_threshold=4, max_seconds=0.4)
+        assert cells and cells[0].cell_id == cell_id
+        assert cells[0].nof_prb == 6
