@@ -70,6 +70,35 @@ def _prepare_buffer(iq: np.ndarray, sample_rate: float,
             jnp.concatenate([head, x[1], tail]))
 
 
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def _cfo_bin_probe(buffer, nbins):
+    """Best coarse-CFO bin (half-subcarrier grid) by PSR over probe windows.
+
+    Returns the bin in half-subcarrier units: residual after correction is
+    <= 0.25 subcarriers, inside the matched filter's tolerance.
+    """
+    from ..ops import correlate
+    bins = tuple(k / 2.0 for k in range(-2 * nbins, 2 * nbins + 1))
+    K = 4
+    starts = jnp.arange(K) * HALF_FRAME_LENGTH
+    gather = jax.vmap(lambda b, s: jax.lax.dynamic_slice(
+        b, (s,), (correlate.V2_WINDOW,)), in_axes=(None, 0))
+    wins = (gather(buffer[0], starts), gather(buffer[1], starts))
+    power = correlate.pss_correlate_power_cfo_bins(wins, bins)
+    _, psr = correlate.peak_and_psr(power)       # [K, len(bins), 3]
+    best = jnp.argmax(jnp.max(psr, axis=(0, 2)))
+    return best.astype(jnp.int32) - 2 * nbins, jnp.max(psr, axis=(0, 2))
+
+
+def _rotate_half_bins(buffer, half_bins: int):
+    """Multiply by exp(-2j*pi*(b/2)*n/128) with exact integer phase
+    arithmetic (mod-256 wrap; no f32 phase drift over long streams)."""
+    n = jnp.arange(buffer[0].shape[0], dtype=jnp.int32)
+    ph = jnp.mod(n * jnp.int32(half_bins), 256).astype(jnp.float32) / 256.0
+    rot = cplx.expi(-2 * jnp.pi * ph)
+    return cplx.mul(buffer, rot)
+
+
 def search(iq: np.ndarray, sample_rate: float,
            psr_threshold: float = DEFAULT_PSR_THRESHOLD,
            exit_on_success: bool = True,
@@ -77,17 +106,29 @@ def search(iq: np.ndarray, sample_rate: float,
            track_after: int = DEFAULT_TRACK_AFTER,
            track_every: int = DEFAULT_TRACK_EVERY,
            cellstore: Optional[CellStore] = None,
-           chunk_steps: int = 25) -> list[Cell]:
+           chunk_steps: int = 25,
+           cfo_search_range: int = 0) -> list[Cell]:
     """One-shot cell search over a capture (looped to `max_seconds`).
 
     Equivalent flow to examples/cell_search_file.py: resample -> trigger ->
     cellstore, with `exit_on_success` stopping at the first published cell.
     The capture is looped (file_source repeat=True) until `max_seconds` of
     stream time has been processed.
+
+    cfo_search_range > 0 enables integer-CFO acquisition (srsLTE
+    cfo_i-style): PSR is probed against replica banks shifted by up to
+    +-range subcarrier spacings and the stream is pre-rotated by the best
+    bin before the normal pipeline (which then tracks the fractional
+    residual).  The reference never exposes this (its sync object keeps
+    cfo_i disabled).
     """
     psr_threshold = ensure_safe_threshold(psr_threshold)
     total = int(max_seconds * SAMPLE_RATE)
     buffer = _prepare_buffer(iq, sample_rate, repeat_to=total)
+    if cfo_search_range > 0:
+        best_bin, _ = _cfo_bin_probe(buffer, cfo_search_range)
+        if int(best_bin) != 0:
+            buffer = _rotate_half_bins(buffer, int(best_bin))
     n_valid = buffer[0].shape[0]
 
     store = cellstore if cellstore is not None else CellStore()

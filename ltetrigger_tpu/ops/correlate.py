@@ -81,14 +81,22 @@ V2_WINDOW = HALF_FRAME_LENGTH + SYMBOL_SZ        # 9728 samples read
 
 
 @functools.lru_cache(maxsize=None)
-def _toeplitz_weights():
+def _toeplitz_weights(cfo_bin: int = 0):
     """(WL, WU): [256, 768] float32 each.
 
     Contraction axis: [x_re block (128), x_im block (128)].
     Output axis: [root, comp, p] flattened as root * 256 + comp * 128 + p
     with comp 0 = re, 1 = im.
+
+    cfo_bin != 0 builds the bank for replicas shifted by that many integer
+    subcarrier spacings (replica_b[n] = rep[n] * exp(2j*pi*b*n/128)) — the
+    srsLTE cfo_i-style integer-CFO search as extra filter banks.
     """
-    rr, ri = cplx.const(pssmod.pss_time())       # [3, 128]
+    reps = pssmod.pss_time()                     # [3, 128] complex
+    if cfo_bin:
+        n = np.arange(SYMBOL_SZ)
+        reps = reps * np.exp(2j * np.pi * cfo_bin * n / SYMBOL_SZ)
+    rr, ri = cplx.const(reps)                    # [3, 128]
     WL = np.zeros((2, 128, N_ROOTS, 2, 128), dtype=np.float32)
     WU = np.zeros((2, 128, N_ROOTS, 2, 128), dtype=np.float32)
     q = np.arange(128)
@@ -147,6 +155,43 @@ def pss_correlate_power_fast(window: cplx.Pair) -> jnp.ndarray:
     through bf16 passes); measured over 384 capture windows.
     """
     return pss_correlate_power_v2(window, matmul_dtype=jnp.bfloat16)
+
+
+def pss_correlate_power_cfo_bins(window: cplx.Pair, bins=(-2, -1, 0, 1, 2),
+                                 matmul_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Correlation power against integer-CFO-shifted replica banks.
+
+    Detects cells whose carrier offset exceeds the matched filter's
+    tolerance (~0.3 subcarrier): every bin is just more output channels of
+    the same blocked-Toeplitz matmul.
+
+    window: pair of [..., >= V2_WINDOW] float32
+    returns: [..., len(bins), 3, SEARCH_LEN] float32
+    """
+    wr, wi = window
+    batch = wr.shape[:-1]
+    nblk = HALF_FRAME_LENGTH // SYMBOL_SZ
+    x0 = jnp.concatenate(
+        [wr[..., :HALF_FRAME_LENGTH].reshape(batch + (nblk, SYMBOL_SZ)),
+         wi[..., :HALF_FRAME_LENGTH].reshape(batch + (nblk, SYMBOL_SZ))],
+        axis=-1)
+    x1 = jnp.concatenate(
+        [wr[..., SYMBOL_SZ:V2_WINDOW].reshape(batch + (nblk, SYMBOL_SZ)),
+         wi[..., SYMBOL_SZ:V2_WINDOW].reshape(batch + (nblk, SYMBOL_SZ))],
+        axis=-1)
+    WL = np.concatenate([_toeplitz_weights(b)[0] for b in bins], axis=1)
+    WU = np.concatenate([_toeplitz_weights(b)[1] for b in bins], axis=1)
+    c = jnp.dot(x0.astype(matmul_dtype),
+                jnp.asarray(WL).astype(matmul_dtype),
+                preferred_element_type=jnp.float32) \
+        + jnp.dot(x1.astype(matmul_dtype),
+                  jnp.asarray(WU).astype(matmul_dtype),
+                  preferred_element_type=jnp.float32)
+    c = c.reshape(batch + (nblk, len(bins), N_ROOTS, 2, SYMBOL_SZ))
+    power = c[..., 0, :] ** 2 + c[..., 1, :] ** 2
+    # [..., nblk, bins, roots, 128] -> [..., bins, roots, SEARCH_LEN]
+    power = jnp.moveaxis(power, -4, -2)
+    return power.reshape(batch + (len(bins), N_ROOTS, SEARCH_LEN))
 
 
 import os as _os  # noqa: E402

@@ -188,3 +188,17 @@ def test_cfo_recovery_end_to_end():
     lane = 123 % 3
     assert t.tracking[lane]
     assert abs(t.mean_cfo[lane] - cfo) < 0.05
+
+
+def test_integer_cfo_search():
+    """A 1.3-subcarrier CFO kills the normal matched filter (PSR < 4) but
+    cfo_search_range=2 pre-rotates by the best integer bin and the cell
+    decodes (capability the reference keeps disabled in srsLTE)."""
+    f = synth.synthesize_frame(200, nof_prb_field=50)
+    n = np.arange(f.size, dtype=np.float64)
+    rx = (f * np.exp(2j * np.pi * 1.3 / 128.0 * n)).astype(np.complex64)
+
+    assert api.search(rx, 1.92e6, max_seconds=0.3) == []
+    cells = api.search(rx, 1.92e6, max_seconds=0.5, cfo_search_range=2)
+    assert cells and cells[0].cell_id == 200
+    assert cells[0].nof_prb == 50
