@@ -62,6 +62,9 @@ class TriggerState(NamedTuple):
     cfo_count: jnp.ndarray    # [R] int32
     published: jnp.ndarray    # [R] bool
     pub_cell_id: jnp.ndarray  # [R] int32
+    llr_acc: jnp.ndarray      # [R, 12, 120] f32 — PBCH TTI soft-combine acc
+    mib_n: jnp.ndarray        # [R] int32 — subframe-0 attempts combined
+    mib_cell: jnp.ndarray     # [R] int32 — cell id the accumulator belongs to
 
 
 class StepOutput(NamedTuple):
@@ -100,6 +103,9 @@ def init_state(start_pos: int = LOOKBACK) -> TriggerState:
         cfo_count=z((R,), jnp.int32),
         published=z((R,), bool),
         pub_cell_id=z((R,), jnp.int32),
+        llr_acc=z((R, 12, 120), jnp.float32),
+        mib_n=z((R,), jnp.int32),
+        mib_cell=jnp.full((R,), -1, dtype=jnp.int32),
     )
 
 
@@ -205,31 +211,55 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
     cell_id = 3 * jnp.maximum(n_id_1, 0) + nid2
     tagged = emit & (~lost) & sss_valid
 
-    # --- MIB attempt (stateless per half-frame, like the reference's
-    #     pbch_decode_reset + ue_mib_decode).  The decode (OFDM + chest +
-    #     24 Viterbi hypotheses) is the step's heaviest block, and it only
-    #     matters when some root actually has a tagged half-frame and no
-    #     published cell — so the whole thing sits behind ONE scalar
-    #     lax.cond, which on TPU executes a single branch at runtime.
-    #     (The reference gets the same effect from mib_impl's early-outs,
-    #     lib/mib_impl.cc:122-135.) ---
+    # --- MIB attempt with 40 ms TTI soft-combining (the reference's
+    #     ue_mib_decode frame buffer, lib/mib_impl.cc:75-76,162, recast as a
+    #     [12, 120] LLR accumulator in the carry).  The decode (OFDM +
+    #     chest + 12 Viterbi hypotheses) is the step's heaviest block and it
+    #     only matters when a root has a tagged subframe-0 half-frame and no
+    #     published cell — so each root's attempt sits behind its own SCALAR
+    #     lax.cond (unrolled, R=3), which on TPU executes only the taken
+    #     branch; inside, the CP hypothesis is another scalar cond
+    #     (pbch._contrib_cond).  Subframe-5 halves (sub5 from the SSS m0/m1
+    #     order) are gated out entirely — the reference feeds them to
+    #     ue_mib_decode where they just fail CRC (lib/mib_impl.cc:122-135
+    #     only early-outs on missing tags). ---
     sf = cplx.index(aligned, (slice(None), slice(0, 2 * SLOT_LENGTH)))
-    want_mib = jnp.any(active & tagged & (~state.published))
+    want_mib = active & tagged & (~state.published) & (~sub5)
 
-    def run_mib(operand):
-        sf_, cid_, ncp_ = operand
-        return jax.vmap(pbch.mib_decode)(sf_, cid_, ncp_)
+    def attempt_root(operand):
+        sf_, cid_, ncp_, acc_, n_, same_ = operand
+        acc_ = jnp.where(same_, acc_, jnp.zeros_like(acc_))
+        n_ = jnp.where(same_, n_, 0)
+        acc_new, res = pbch.mib_combine_decode(sf_, cid_, ncp_, acc_, n_)
+        return acc_new, n_ + 1, res
 
-    def skip_mib(operand):
-        _, cid_, _ = operand
-        z = jnp.zeros_like(cid_)
-        return {"found": jnp.zeros(cid_.shape, bool), "nof_prb": z,
-                "nof_ports": z, "phich_ext": z, "phich_res": z,
-                "sfn_offset": z, "quarter": z,
-                "metric": jnp.zeros(cid_.shape, jnp.float32)}
+    def skip_root(operand):
+        _, _, _, acc_, n_, _ = operand
+        z = jnp.zeros((), jnp.int32)
+        res = {"found": jnp.zeros((), bool), "nof_prb": z, "nof_ports": z,
+               "phich_ext": z, "phich_res": z, "sfn_offset": z, "quarter": z,
+               "metric": jnp.zeros((), jnp.float32)}
+        return acc_, n_, res
 
-    mib = jax.lax.cond(want_mib, run_mib, skip_mib,
-                       (sf, cell_id, normal_cp))
+    same_cell = state.mib_cell == cell_id
+    accs, ns, ress = [], [], []
+    for r in range(R):
+        acc_r, n_r, res_r = jax.lax.cond(
+            want_mib[r], attempt_root, skip_root,
+            ((sf[0][r], sf[1][r]), cell_id[r], normal_cp[r],
+             state.llr_acc[r], state.mib_n[r], same_cell[r]))
+        accs.append(acc_r)
+        ns.append(n_r)
+        ress.append(res_r)
+    mib = {k: jnp.stack([res[k] for res in ress]) for k in ress[0]}
+    llr_acc = jnp.stack(accs)
+    mib_n = jnp.stack(ns)
+    mib_cell = jnp.where(want_mib, cell_id, state.mib_cell)
+    # tracking loss flushes the accumulator like every other telemetry ring
+    llr_acc = jnp.where(lost[:, None, None], 0.0, llr_acc)
+    mib_n = jnp.where(lost, 0, mib_n)
+    mib_cell = jnp.where(lost, -1, mib_cell)
+
     track_event = active & tagged & mib["found"] & (~state.published)
     drop_event = active & emit & lost & state.published
     published = (state.published | track_event) & ~drop_event
@@ -257,6 +287,9 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
         cfo_count=frz(cfo_count, state.cfo_count),
         published=frz(published, state.published),
         pub_cell_id=frz(pub_cell_id, state.pub_cell_id),
+        llr_acc=frz(llr_acc, state.llr_acc),
+        mib_n=frz(mib_n, state.mib_n),
+        mib_cell=frz(mib_cell, state.mib_cell),
     )
     out = StepOutput(
         track_event=track_event,

@@ -23,6 +23,7 @@ subframe — which is exactly what a fixed-shape TPU program wants.
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -169,17 +170,22 @@ def _pbch_gather_indices(v_shift, normal_cp: bool):
 
 
 # ---------------------------------------------------------------- equalize --
+# MRC weighting, not ZF: the combiner output is conj(h)*y (scaled by the
+# Alamouti branch power for SFBC) with NO division by |h|^2.  Dividing makes
+# the constellation unit-scale but weights every RE equally in the Viterbi
+# metric; leaving the |h|^2 factor in place weights each RE by its channel
+# confidence — the optimal soft metric, and worth ~3 dB of MIB sensitivity
+# when the pilots are noise-dominated (the regime TTI soft-combining exists
+# for).  Decisions on clean captures are unchanged (scale-invariant CRC/
+# Viterbi paths on flat channels).
 def _sfbc(y: cplx.Pair, g0: cplx.Pair, g1: cplx.Pair) -> cplx.Pair:
-    """Alamouti SFBC decode over adjacent RE pairs (y, channels as pairs)."""
+    """Alamouti SFBC combine over adjacent RE pairs (y, channels as pairs)."""
     y0 = cplx.index(y, (..., slice(0, None, 2)))
     y1 = cplx.index(y, (..., slice(1, None, 2)))
     a0 = cplx.index(g0, (..., slice(0, None, 2)))
     a1 = cplx.index(g1, (..., slice(0, None, 2)))
-    den = cplx.abs2(a0) + cplx.abs2(a1) + 1e-12
-    x0 = cplx.div_real(cplx.add(cplx.mul(cplx.conj(a0), y0),
-                                cplx.mul(a1, cplx.conj(y1))), den)
-    x1 = cplx.div_real(cplx.sub(cplx.mul(cplx.conj(a0), y1),
-                                cplx.mul(a1, cplx.conj(y0))), den)
+    x0 = cplx.add(cplx.mul(cplx.conj(a0), y0), cplx.mul(a1, cplx.conj(y1)))
+    x1 = cplx.sub(cplx.mul(cplx.conj(a0), y1), cplx.mul(a1, cplx.conj(y0)))
     # interleave x0/x1 back
     re = jnp.stack([x0[0], x1[0]], axis=-1).reshape(y[0].shape)
     im = jnp.stack([x0[1], x1[1]], axis=-1).reshape(y[1].shape)
@@ -187,10 +193,9 @@ def _sfbc(y: cplx.Pair, g0: cplx.Pair, g1: cplx.Pair) -> cplx.Pair:
 
 
 def _equalize(y: cplx.Pair, h: list, nof_ports: int) -> cplx.Pair:
-    """y pair [..., E]; h = list of 4 per-port pairs [..., E] -> symbols."""
+    """y pair [..., E]; h = list of 4 per-port pairs [..., E] -> MRC symbols."""
     if nof_ports == 1:
-        h0 = h[0]
-        return cplx.div_real(cplx.mul_conj(y, h0), cplx.abs2(h0) + 1e-12)
+        return cplx.mul_conj(y, h[0])
     if nof_ports == 2:
         return _sfbc(y, h[0], h[1])
     # 4 ports: SFBC-FSTD on groups of 4; pairs (0,2) on REs {0,1} and
@@ -215,8 +220,15 @@ def _equalize(y: cplx.Pair, h: list, nof_ports: int) -> cplx.Pair:
 
 
 # ------------------------------------------------------------- full decode --
-def _decode_cp(subframe: cplx.Pair, cell_id, normal_cp: bool):
-    """One CP hypothesis. -> dict of [12]-batched results (3 ports x 4 qtr)."""
+def pbch_quarter_llrs(subframe: cplx.Pair, cell_id, normal_cp: bool):
+    """Dematched LLR contributions of ONE subframe: [3 ports, 4 quarters, 120].
+
+    Element [p, q] is this subframe's contribution to the 120 codeword LLRs
+    under the hypothesis of p TX ports (index 0/1/2 -> 1/2/4) and of the
+    subframe carrying rate-match quarter q of the 40 ms PBCH TTI.  These
+    contributions are additive across subframes of one TTI — the basis for
+    soft-combining (reference gets this inside srslte_ue_mib_decode /
+    srslte_pbch_decode's frame buffer, lib/mib_impl.cc:75-76,162)."""
     slot1 = ofdm_demod_slot(
         cplx.index(subframe, (..., slice(SLOT_LENGTH, 2 * SLOT_LENGTH))),
         normal_cp)
@@ -235,20 +247,26 @@ def _decode_cp(subframe: cplx.Pair, cell_id, normal_cp: bool):
     signs = _gold_signs(scrambling.pbch_c_init(cell_id), 4 * e_bits)
     signs_q = signs.reshape(4, e_bits)
     M = jnp.asarray(_dematch_onehot(normal_cp))                 # [4, e, 120]
-    acc = jnp.einsum("pe,qe,qek->pqk", llr, signs_q, M)
-    # 120 accumulated LLRs are stream-major [d0(40), d1(40), d2(40)];
-    # the trellis consumes step-major triplets [40, 3].
-    r = jnp.transpose(acc.reshape(3, 4, 3, 40), (0, 1, 3, 2)).reshape(12, 40, 3)
+    return jnp.einsum("pe,qe,qek->pqk", llr, signs_q, M)
 
-    bits, metric = viterbi_decode_tb(r)                         # [12, 40]
+
+def codeword_search(llrs: jnp.ndarray, port_masks: jnp.ndarray):
+    """Viterbi + CRC/port-mask check over H codeword hypotheses.
+
+    llrs:       [H, 120] accumulated LLRs, stream-major [d0(40),d1(40),d2(40)]
+    port_masks: [H, 16] CRC xor-mask bits per hypothesis
+    returns dict: bits [H, 40], crc_ok [H], metric [H]
+    """
+    h = llrs.shape[0]
+    # the trellis consumes step-major triplets [40, 3]
+    r = jnp.transpose(llrs.reshape(h, 3, 40), (0, 2, 1))
+    bits, metric = viterbi_decode_tb(r)                         # [H, 40]
 
     C = jnp.asarray(_crc_matrix())
-    masks = jnp.asarray(_crc_masks())
     payload = bits[:, :24].astype(jnp.float32)
     crc_calc = jnp.mod(payload @ C.T, 2.0)
-    expect = jnp.mod(crc_calc + jnp.repeat(masks, 4, axis=0), 2.0)
+    expect = jnp.mod(crc_calc + port_masks, 2.0)
     crc_ok = jnp.all(expect.astype(jnp.int32) == bits[:, 24:], axis=-1)
-
     return {"bits": bits, "crc_ok": crc_ok, "metric": metric}
 
 
@@ -269,22 +287,25 @@ def _unpack_fields(bits):
             "sfn_offset": (sfn << 2).astype(jnp.int32)}
 
 
-def mib_decode(subframe: cplx.Pair, cell_id: jnp.ndarray,
-               normal_cp: jnp.ndarray):
-    """Stateless single-subframe MIB decode attempt.
+def _contrib_cond(subframe: cplx.Pair, cell_id, normal_cp) -> jnp.ndarray:
+    """[3, 4, 120] quarter LLRs with the CP hypothesis behind a lax.cond:
+    with a scalar (non-vmapped) normal_cp only the taken branch executes on
+    TPU, halving the OFDM/chest/equalize work vs evaluating both CPs."""
+    return jax.lax.cond(
+        normal_cp,
+        lambda sf: pbch_quarter_llrs(sf, cell_id, True),
+        lambda sf: pbch_quarter_llrs(sf, cell_id, False),
+        subframe)
 
-    subframe:  pair of [1920] float32 (aligned: subframe 0 candidate)
-    cell_id:   int32 traced
-    normal_cp: bool traced (selects which CP hypothesis's result is reported)
 
-    returns dict of scalars:
-      found (bool), nof_prb, nof_ports, phich_ext, phich_res, sfn_offset,
-      quarter, metric
+def _search_and_unpack(llrs12: jnp.ndarray, quarter_of: jnp.ndarray):
+    """Shared tail: 12-hypothesis codeword search -> result scalars.
+
+    llrs12:     [12, 120] hypothesis-major LLRs (index = port * 4 + j)
+    quarter_of: [12] int32 -> reported `quarter` for each hypothesis index
     """
-    res_n = _decode_cp(subframe, cell_id, True)
-    res_e = _decode_cp(subframe, cell_id, False)
-    # scalar bool condition broadcasts against any result shape
-    res = {k: jnp.where(normal_cp, res_n[k], res_e[k]) for k in res_n}
+    masks = jnp.repeat(jnp.asarray(_crc_masks()), 4, axis=0)     # [12, 16]
+    res = codeword_search(llrs12, masks)
 
     fields = _unpack_fields(res["bits"][:, :24])
     ok = res["crc_ok"] & fields["bw_valid"]
@@ -302,6 +323,56 @@ def mib_decode(subframe: cplx.Pair, cell_id: jnp.ndarray,
         "phich_ext": fields["phich_ext"][best],
         "phich_res": fields["phich_res"][best],
         "sfn_offset": fields["sfn_offset"][best],
-        "quarter": jnp.mod(best, 4),
+        "quarter": quarter_of[best],
         "metric": res["metric"][best],
     }
+
+
+def mib_decode(subframe: cplx.Pair, cell_id: jnp.ndarray,
+               normal_cp: jnp.ndarray):
+    """Stateless single-subframe MIB decode attempt.
+
+    subframe:  pair of [1920] float32 (aligned: subframe 0 candidate)
+    cell_id:   int32 traced
+    normal_cp: bool traced (selects which CP hypothesis runs; scalar -> only
+               that branch executes)
+
+    returns dict of scalars:
+      found (bool), nof_prb, nof_ports, phich_ext, phich_res, sfn_offset,
+      quarter, metric
+    """
+    contrib = _contrib_cond(subframe, cell_id, normal_cp)       # [3, 4, 120]
+    return _search_and_unpack(contrib.reshape(12, 120),
+                              jnp.mod(jnp.arange(12, dtype=jnp.int32), 4))
+
+
+def mib_combine_decode(subframe: cplx.Pair, cell_id: jnp.ndarray,
+                       normal_cp: jnp.ndarray, llr_acc: jnp.ndarray,
+                       n: jnp.ndarray):
+    """MIB decode with soft-combining across the 40 ms PBCH TTI.
+
+    The capability the reference gets from srslte_ue_mib_decode's internal
+    frame buffer (lib/mib_impl.cc:75-76,162; srsLTE pbch.c combines up to 4
+    frames), recast fixed-shape: 4 TTI-phase hypotheses are carried as an
+    accumulator axis.  Under phase h, the subframe-0 attempt number n is
+    quarter q = (n + h) mod 4 of a TTI; at q == 0 that phase's accumulator
+    restarts (new TTI = new codeword — SFN field changes), otherwise the
+    contribution adds.  Phase h = (-n) mod 4 always restarts fresh, so one
+    hypothesis per attempt equals the stateless single-subframe decode:
+    combining can only add sensitivity, never lose a stateless detection.
+
+    subframe:  pair of [1920] float32 (subframe-0 candidate, sub5 gated out
+               by the caller using the SSS m0/m1 order)
+    llr_acc:   [12, 120] float32 accumulator, index = port * 4 + phase
+    n:         int32 — attempts combined so far for this cell
+
+    returns: (llr_acc_new [12, 120], result dict like mib_decode)
+    """
+    contrib = _contrib_cond(subframe, cell_id, normal_cp)       # [3, 4, 120]
+    q = jnp.mod(n + jnp.arange(4, dtype=jnp.int32), 4)          # [4] per phase
+    sel = jnp.take(contrib, q, axis=1)                          # [3, 4(h), 120]
+    acc = llr_acc.reshape(3, 4, 120)
+    acc_new = jnp.where((q == 0)[None, :, None], sel, acc + sel)
+    res = _search_and_unpack(acc_new.reshape(12, 120),
+                             jnp.tile(q, 3))
+    return acc_new.reshape(12, 120), res

@@ -7,12 +7,45 @@ evaluated unconditionally (no branches), the SSS symbol is demodulated by a
 against static cyclic-shift banks.
 """
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
 from ..ltecore import sss as sssmod
 from ..ltecore.constants import CP_EXT, CP_NORM, SLOT_LENGTH, SYMBOL_SZ
 from . import cplx, dft
+
+# srsLTE correlates the SSS m-sequences in 3 sub-segments summed
+# noncoherently (srslte_sss_m0m1_partial(..., 3, ...), reference
+# lib/sss_impl.cc:112): phase coherence is only required within ~10
+# subcarriers, making the search robust to the inter-subcarrier phase ramp
+# left by residual timing error / CFO between acquisition and correction.
+SSS_SECTIONS = 3
+
+
+@functools.lru_cache(maxsize=None)
+def _section_banks(sections: int) -> np.ndarray:
+    """[31, sections * 31] float32: column s*31+m holds section s of the
+    m-th cyclic shift of s_tilde (zeros outside the section)."""
+    S = sssmod.shift_bank()                      # [31(m), 31(k)]
+    bank = np.zeros((31, sections * 31), dtype=np.float32)
+    bounds = np.linspace(0, 31, sections + 1).astype(int)
+    for s in range(sections):
+        lo, hi = bounds[s], bounds[s + 1]
+        bank[lo:hi, s * 31:(s + 1) * 31] = S.T[lo:hi]
+    return bank
+
+
+def _partial_corr_metric(y: cplx.Pair, sections: int) -> jnp.ndarray:
+    """[..., 31] noncoherent sum over sections of |segment correlation|^2.
+
+    y: pair of [..., 31] descrambled subcarriers.
+    """
+    bank = jnp.asarray(_section_banks(sections))
+    c = cplx.matmul_pair_real(y, bank)           # pair [..., sections*31]
+    power = cplx.abs2(c)
+    return jnp.sum(power.reshape(power.shape[:-1] + (sections, 31)), axis=-2)
 
 
 def detect_cp(aligned: cplx.Pair) -> jnp.ndarray:
@@ -39,14 +72,15 @@ def detect_cp(aligned: cplx.Pair) -> jnp.ndarray:
 
 
 def sss_decode(aligned: cplx.Pair, n_id_2: jnp.ndarray,
-               normal_cp: jnp.ndarray):
+               normal_cp: jnp.ndarray, sections: int = SSS_SECTIONS):
     """SSS -> (n_id_1 [..., int32, -1 invalid], subframe5 [..., bool]).
 
     aligned:   pair of [..., 9600] peak-aligned half-frame
     n_id_2:    [...] int32 root index per batch element
     normal_cp: [...] bool (selects the SSS symbol position)
+    sections:  m-sequence correlation sub-segments summed noncoherently
+               (3 = srsLTE's m0m1_partial default; 1 = full coherent)
     """
-    S = jnp.asarray(sssmod.shift_bank())          # [31, 31]
     cs = jnp.asarray(sssmod.c_scramble())         # [3, 2, 31]
     zb = jnp.asarray(sssmod.z_bank())             # [8, 31]
     tab = jnp.asarray(sssmod.nid1_table())        # [31, 31]
@@ -64,11 +98,11 @@ def sss_decode(aligned: cplx.Pair, n_id_2: jnp.ndarray,
     odd = cplx.index(y, (..., slice(1, None, 2)))
 
     ce = cplx.scale(even, c0)                     # descramble (real +-1)
-    m0 = jnp.argmax(cplx.abs2(cplx.matmul_pair_real(ce, S.T)),
+    m0 = jnp.argmax(_partial_corr_metric(ce, sections),
                     axis=-1).astype(jnp.int32)
     z = zb[m0 % 8]
     co = cplx.scale(odd, c1 * z)
-    m1 = jnp.argmax(cplx.abs2(cplx.matmul_pair_real(co, S.T)),
+    m1 = jnp.argmax(_partial_corr_metric(co, sections),
                     axis=-1).astype(jnp.int32)
 
     direct = tab[m0, m1]

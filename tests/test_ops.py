@@ -101,6 +101,26 @@ class TestSync:
         assert int(nid1) == cell_id // 3
         assert bool(sub5)
 
+    def test_sss_partial_correlation_timing_robust(self):
+        """srslte_sss_m0m1_partial parity (reference lib/sss_impl.cc:112):
+        a few samples of residual timing error put a phase ramp across the
+        62 SSS subcarriers that collapses full-length coherent correlation;
+        the 3-section partial correlation (the shipped default) survives."""
+        cell_id = 321
+        f = synth.synthesize_frame(cell_id, nof_prb_field=50)
+        n = np.arange(9600)
+        # 3 samples early (inside the CP) + 0.3-subcarrier residual CFO
+        x = np.concatenate([np.zeros(3, complex), f[:9597]])
+        x = (x * np.exp(2j * np.pi * 0.3 / 128 * n)).astype(np.complex64)
+        xp = cplx.from_numpy(x)
+        full, _ = sync.sss_decode(xp, jnp.int32(cell_id % 3),
+                                  jnp.bool_(True), sections=1)
+        part, sub5 = sync.sss_decode(xp, jnp.int32(cell_id % 3),
+                                     jnp.bool_(True), sections=3)
+        assert int(full) != cell_id // 3, "impairment too weak to demonstrate"
+        assert int(part) == cell_id // 3
+        assert not bool(sub5)
+
     def test_sss_batched_roots(self, frame6):
         iq, cell_id = frame6
         ap = cplx.from_numpy(iq[:HALF_FRAME_LENGTH])
@@ -162,6 +182,49 @@ class TestPbch:
         assert int(out["nof_prb"]) == 75
         assert int(out["nof_ports"]) == nof_ports
         assert int(out["quarter"]) == quarter
+
+    def test_tti_soft_combining_beats_single_subframe(self):
+        """40 ms TTI soft-combining (the srslte_ue_mib_decode frame-buffer
+        capability, reference lib/mib_impl.cc:75-76,162): at -21 dB SNR no
+        individual subframe decodes, but accumulating the four quarters'
+        LLRs across the TTI does."""
+        cell_id = 451
+        frames = [synth.synthesize_frame(cell_id, nof_prb_field=50,
+                                         sfn=q, quarter=q) for q in range(4)]
+        rng = np.random.default_rng(2)
+        sigma = np.sqrt(10 ** (21 / 10) / 2)
+
+        acc = jnp.zeros((12, 120), jnp.float32)
+        n = jnp.int32(0)
+        combined_found = False
+        for q in range(4):
+            sf = frames[q][:1920] + sigma * (
+                rng.normal(size=1920) + 1j * rng.normal(size=1920))
+            sfp = cplx.from_numpy(sf.astype(np.complex64))
+            single = pbch.mib_decode(sfp, jnp.int32(cell_id), jnp.bool_(True))
+            assert not bool(single["found"]), \
+                f"quarter {q} decoded single-shot; SNR too high for this test"
+            acc, out = pbch.mib_combine_decode(
+                sfp, jnp.int32(cell_id), jnp.bool_(True), acc, n)
+            n = n + 1
+            if bool(out["found"]):
+                combined_found = True
+                assert int(out["nof_prb"]) == 50
+                assert int(out["nof_ports"]) == 1
+        assert combined_found, "soft-combining failed to decode the TTI"
+
+    def test_combine_first_attempt_equals_stateless(self):
+        """Phase h = 0 of a fresh accumulator IS the stateless decode: the
+        first combined attempt must reproduce mib_decode exactly."""
+        iq, cell_id = load_frame(6)[0].astype(np.complex64), 123
+        sfp = cplx.from_numpy(iq[:1920])
+        single = pbch.mib_decode(sfp, jnp.int32(cell_id), jnp.bool_(True))
+        acc = jnp.zeros((12, 120), jnp.float32)
+        _, comb = pbch.mib_combine_decode(sfp, jnp.int32(cell_id),
+                                          jnp.bool_(True), acc, jnp.int32(0))
+        for k in ("found", "nof_prb", "nof_ports", "phich_ext", "phich_res",
+                  "sfn_offset", "quarter"):
+            assert np.asarray(single[k]) == np.asarray(comb[k]), k
 
     def test_noise_rejected(self):
         rng = np.random.default_rng(7)

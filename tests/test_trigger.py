@@ -134,6 +134,20 @@ def test_extended_cp_cell_via_search():
     assert cells[0].nof_prb == 25
 
 
+def test_search_multi_quarter_tti_stream():
+    """A realistic stream where the PBCH quarter cycles 1,2,3,0 frame to
+    frame (the bundled captures loop a single quarter-0 frame, so this path
+    — including the TTI-phase bookkeeping of the soft-combiner — is
+    otherwise never exercised end-to-end)."""
+    cell_id = 142
+    frames = [synth.synthesize_frame(cell_id, nof_prb_field=100,
+                                     sfn=q, quarter=q) for q in (1, 2, 3, 0)]
+    sig = np.concatenate(frames).astype(np.complex64)
+    cells = api.search(sig, 1.92e6, psr_threshold=4, max_seconds=0.5)
+    assert cells and cells[0].cell_id == cell_id
+    assert cells[0].nof_prb == 100
+
+
 def test_checkpoint_resume(tmp_path):
     """Streaming state survives a save/load cycle mid-acquisition."""
     iq, cell_id, _ = load_frame(6)
