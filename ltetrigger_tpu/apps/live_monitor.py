@@ -57,6 +57,10 @@ def run(stream, psr_threshold: float = 4.0, chunk_samples: int = 19200,
                 "max_psr": np.round(trig.max_psr, 2).tolist(),
                 "mean_cfo": np.round(trig.mean_cfo, 4).tolist(),
                 "cells": [c.cell_id for c in trig.cellstore.cells()],
+                # per-stage driver timing (prep/scan/drain mean ms) — the
+                # observability layer the reference lacks (SURVEY §5)
+                "stages": {name: round(st["mean_ms"], 3)
+                           for name, st in trig.timer.summary().items()},
             }
             print(json.dumps({"event": "status", **status}), file=out,
                   flush=True)

@@ -23,6 +23,7 @@ from ..ltecore.constants import (DEFAULT_PSR_THRESHOLD, DEFAULT_TRACK_AFTER,
                                  SAMPLE_RATE)
 from ..ops import cplx, resample
 from ..runtime.cellstore import Cell, CellStore, cell_from_step
+from ..utils.profiling import StageTimer
 from . import trigger as trig
 
 LOOKBACK = trig.LOOKBACK
@@ -107,7 +108,8 @@ def search(iq: np.ndarray, sample_rate: float,
            track_every: int = DEFAULT_TRACK_EVERY,
            cellstore: Optional[CellStore] = None,
            chunk_steps: int = 25,
-           cfo_search_range: int = 0) -> list[Cell]:
+           cfo_search_range: int = 0,
+           timer: Optional[StageTimer] = None) -> list[Cell]:
     """One-shot cell search over a capture (looped to `max_seconds`).
 
     Equivalent flow to examples/cell_search_file.py: resample -> trigger ->
@@ -123,13 +125,15 @@ def search(iq: np.ndarray, sample_rate: float,
     cfo_i disabled).
     """
     psr_threshold = ensure_safe_threshold(psr_threshold)
-    total = int(max_seconds * SAMPLE_RATE)
-    buffer = _prepare_buffer(iq, sample_rate, repeat_to=total)
-    if cfo_search_range > 0:
-        best_bin, _ = _cfo_bin_probe(buffer, cfo_search_range)
-        if int(best_bin) != 0:
-            buffer = _rotate_half_bins(buffer, int(best_bin))
-    n_valid = buffer[0].shape[0]
+    timer = timer if timer is not None else StageTimer()
+    with timer.stage("prepare"):
+        total = int(max_seconds * SAMPLE_RATE)
+        buffer = _prepare_buffer(iq, sample_rate, repeat_to=total)
+        if cfo_search_range > 0:
+            best_bin, _ = _cfo_bin_probe(buffer, cfo_search_range)
+            if int(best_bin) != 0:
+                buffer = _rotate_half_bins(buffer, int(best_bin))
+        n_valid = buffer[0].shape[0]
 
     store = cellstore if cellstore is not None else CellStore()
     state = trig.init_state()
@@ -140,12 +144,14 @@ def search(iq: np.ndarray, sample_rate: float,
     steps_done = 0
     while steps_done < max_steps:
         n = min(chunk_steps, max_steps - steps_done)
-        state, out = _scan_jit(buffer, state, jnp.float32(psr_threshold),
-                               jnp.int32(n_valid), n, track_after,
-                               track_every)
+        with timer.stage("scan"):
+            state, out = _scan_jit(buffer, state, jnp.float32(psr_threshold),
+                                   jnp.int32(n_valid), n, track_after,
+                                   track_every)
         steps_done += n
-        host = jax.tree_util.tree_map(np.asarray, out)
-        stop = _drain_events(host, store, found)
+        with timer.stage("drain"):
+            host = jax.tree_util.tree_map(np.asarray, out)
+            stop = _drain_events(host, store, found)
         if exit_on_success and stop:
             break
         if not np.any(host.consumed):      # all roots exhausted the stream
@@ -196,6 +202,9 @@ class Trigger:
         self.on_track = on_track
         self.on_drop = on_drop
         self.done = False
+        # per-stage wall-clock accumulators (prep / scan / drain), the
+        # observability the reference's muted tag_debug taps never provided
+        self.timer = StageTimer()
 
         # streaming convention: stream index 0 = first real sample, with
         # LOOKBACK zeros of synthetic history before it (GR history parity)
@@ -206,8 +215,12 @@ class Trigger:
             trig.trigger_step, track_after=track_after,
             track_every=track_every))
         # multi-step scan over a buffered chunk: amortizes the per-dispatch
-        # round trip (~10 ms on tunneled runtimes) over scan_chunk steps
+        # round trip (~1 ms once this runtime has seen a D2H transfer, see
+        # bench.py) over scan_chunk steps
         self.scan_chunk = 8
+        # buffer lengths are padded up to multiples of this so the jitted
+        # scan sees a handful of static shapes instead of one per call
+        self._bucket = 16 * HALF_FRAME_LENGTH
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def _scan(buffer, state, thresh, n_valid, n_steps):
@@ -259,24 +272,31 @@ class Trigger:
         published: list[Cell] = []
 
         while True:
-            nbuf = len(self._buf)
-            pos_rel = np.asarray(self._state.pos) - self._base
-            if not np.any(pos_rel + (WINDOW - LOOKBACK) <= nbuf):
-                break
-            buf = self._buf
-            if nbuf < WINDOW:
-                buf = np.concatenate(
-                    [buf, np.zeros(WINDOW - nbuf, np.complex64)])
-            bpair = (jnp.asarray(buf.real.astype(np.float32)),
-                     jnp.asarray(buf.imag.astype(np.float32)))
-            rel_state = self._state._replace(
-                pos=jnp.asarray(pos_rel.astype(np.int32)))
-            rel_state, out = self._scan(
-                bpair, rel_state, jnp.float32(self.psr_threshold),
-                jnp.int32(nbuf), self.scan_chunk)
-            self._state = rel_state._replace(
-                pos=rel_state.pos + jnp.int32(self._base))
-            host = jax.tree_util.tree_map(np.asarray, out)
+            with self.timer.stage("prep"):
+                nbuf = len(self._buf)
+                pos_rel = np.asarray(self._state.pos) - self._base
+                if not np.any(pos_rel + (WINDOW - LOOKBACK) <= nbuf):
+                    break
+                # pad to a shape bucket: a fresh buffer length every call
+                # would retrace/recompile the scan each time (measured: the
+                # streaming driver ran 1000x slower than the scan itself)
+                cap = max(WINDOW, -(-nbuf // self._bucket) * self._bucket)
+                buf = self._buf
+                if cap > nbuf:
+                    buf = np.concatenate(
+                        [buf, np.zeros(cap - nbuf, np.complex64)])
+                bpair = (jnp.asarray(buf.real.astype(np.float32)),
+                         jnp.asarray(buf.imag.astype(np.float32)))
+                rel_state = self._state._replace(
+                    pos=jnp.asarray(pos_rel.astype(np.int32)))
+            with self.timer.stage("scan"):
+                rel_state, out = self._scan(
+                    bpair, rel_state, jnp.float32(self.psr_threshold),
+                    jnp.int32(nbuf), self.scan_chunk)
+                self._state = rel_state._replace(
+                    pos=rel_state.pos + jnp.int32(self._base))
+            with self.timer.stage("drain"):
+                host = jax.tree_util.tree_map(np.asarray, out)
             any_progress = bool(np.any(host.consumed))
             for s in range(host.track_event.shape[0]):
                 for r in range(host.track_event.shape[1]):

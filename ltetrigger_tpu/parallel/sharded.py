@@ -14,6 +14,18 @@ N channels sharded across hosts; halo-exchange streaming"):
      neighbour, so no peak is lost at a seam.  Tracking state does not cross
      seams (each block acquires independently) — the offline wide-area scan
      trade-off, documented here rather than hidden.
+
+Seam-state design choice (deliberate): carrying TriggerState across seams
+would make shard k+1 data-depend on shard k's final carry, serializing the
+scan into a device-count-long sequential chain — exactly the wall-clock the
+`t` axis exists to remove.  Independent acquisition costs only re-detection
+latency inside each block: publishing a cell needs ONE over-threshold
+half-frame with valid SSS + MIB CRC (tracking hysteresis gates telemetry
+and loss events, not first publication), so any shard holding >= 1 clean
+subframe-0 half-frame detects on its own, and the adversarial seam cases
+are covered by halo width (tests/test_parallel.py seam tests).  Streams
+needing continuous tracking state belong on the `ch` axis (one stream per
+lane) or in the host-driven api.Trigger, both of which carry state forever.
 """
 
 from __future__ import annotations

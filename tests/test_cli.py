@@ -116,3 +116,23 @@ def test_live_monitor(tmp_path, capsys):
     status = [e for e in events if e["event"] == "status"][-1]
     assert status["tracking"][cell_id % 3]
     assert status["cells"] == [cell_id]
+    # observability: the driver's per-stage timing must be live
+    assert set(status["stages"]) == {"prep", "scan", "drain"}
+    assert all(v >= 0 for v in status["stages"].values())
+
+
+def test_trigger_stage_timer():
+    """Trigger.process accumulates per-stage wall clock (SURVEY §5 gap)."""
+    from ltetrigger_tpu.models import api
+    from tests.conftest import load_frame
+
+    iq, _, _ = load_frame(6)
+    t = api.Trigger(psr_threshold=4)
+    t.process(np.tile(iq, 4))
+    summary = t.timer.summary()
+    assert {"prep", "scan", "drain"} <= set(summary)
+    for name in ("prep", "scan", "drain"):
+        assert summary[name]["count"] >= 1
+        assert summary[name]["total_s"] > 0
+    t.timer.reset()
+    assert t.timer.summary() == {}

@@ -75,6 +75,57 @@ def test_time_sharded_scan_finds_cell_in_every_block():
     assert set(ids.tolist()) == {cell_id}
 
 
+def test_time_shard_peak_straddles_seam():
+    """Adversarial seam placement: the stream is offset so in every t-shard
+    the last PSS peak sits 200 samples before the shard boundary — the
+    emitted half-frame (and its SSS/PBCH) lives almost entirely in the
+    right-neighbour halo.  Every shard must still detect the cell."""
+    iq, cell_id, _ = load_frame(6)
+    # peaks (PSS starts) land at 832 + 9600k in the capture; shift the
+    # stream so local peaks sit at 9400, 19000, 28600, 38200 in each
+    # 38400-sample shard -> the 38200 peak's aligned output needs 8440
+    # samples of halo.
+    shift = 9400 - 832
+    sig = np.tile(iq, 9)[19200 - shift: 19200 - shift + 8 * 19200]
+    mesh = make_mesh(n_channels=2, n_time=4)
+    out = time_sharded_scan(_pairify(sig), mesh, 4.0)
+    ev = np.asarray(out.track_event)          # [4, steps, R]
+    assert ev.any(axis=(1, 2)).all(), "a shard missed the cell entirely"
+    ids = np.asarray(out.cell_id)[ev.astype(bool)]
+    assert set(ids.tolist()) == {cell_id}
+    # the step whose search window crosses the seam (local peak 38200,
+    # aligned output 8568 samples into the halo) must still identify the
+    # cell with full PSR on the owning lane — in every shard with a real
+    # right neighbour.  A broken halo turns these into noise.
+    lane = cell_id % 3
+    psr = np.asarray(out.psr)
+    cid = np.asarray(out.cell_id)
+    for shard in range(3):
+        assert psr[shard, 3, lane] > 4.0, psr[shard]
+        assert cid[shard, 3, lane] == cell_id
+
+
+def test_time_shard_halo_only_detection():
+    """A single radio frame placed so its only subframe-0 PSS peak is 100
+    samples before the seam: the owning shard can decode it ONLY through the
+    halo (the aligned half-frame, SSS and PBCH all extend past the block),
+    and no other shard may double-report it."""
+    iq, cell_id, _ = load_frame(6)
+    stream = np.zeros(8 * 19200, np.complex64)
+    g = 38400 - 100 - 832          # frame start: PSS#1 peak at 38300
+    stream[g:g + 19200] = iq
+    mesh = make_mesh(n_channels=2, n_time=4)
+    out = time_sharded_scan(_pairify(stream), mesh, 4.0)
+    ev = np.asarray(out.track_event)
+    per_shard = ev.sum(axis=(1, 2))
+    # shard 0 owns the peak (starts before the seam) and decodes via halo;
+    # shard 1 sees only the subframe-5 half with full context (no MIB) —
+    # nobody else fires.
+    np.testing.assert_array_equal(per_shard, [1, 0, 0, 0])
+    ids = np.asarray(out.cell_id)[ev.astype(bool)]
+    assert set(ids.tolist()) == {cell_id}
+
+
 def test_halo_exchange_unit():
     from ltetrigger_tpu.parallel.sharded import halo_exchange_right
     from jax.sharding import PartitionSpec as P
