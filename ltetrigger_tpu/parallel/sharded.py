@@ -41,33 +41,47 @@ from ..models import trigger as trig
 
 
 # --------------------------------------------------------- channel scan ----
-def channel_scan(buffers: jnp.ndarray, n_steps: int, psr_threshold,
-                 mesh: Mesh | None = None,
-                 track_after: int = DEFAULT_TRACK_AFTER,
-                 track_every: int = DEFAULT_TRACK_EVERY):
-    """Run the scan engine over C channels, sharded over `ch`.
-
-    buffers: pair of [C, N] float32 (see ops/cplx.py), each padded like
-             trigger.scan_engine expects (LOOKBACK zero head + WINDOW tail).
-    returns: (final_states [C,...], StepOutput [n_steps, C, R, ...])
-    """
-    c = buffers[0].shape[0]
-    states = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (c,) + x.shape), trig.init_state())
-
+@functools.partial(jax.jit, static_argnames=("n_steps", "track_after",
+                                             "track_every"))
+def _channel_scan_jit(buffers, states, psr_threshold, n_steps,
+                      track_after, track_every):
     def run(buf, st):
         return trig.scan_engine(buf, st, n_steps, psr_threshold,
                                 track_after, track_every)
 
-    fn = jax.vmap(run)
+    return jax.vmap(run)(buffers, states)
+
+
+def channel_scan(buffers: jnp.ndarray, n_steps: int, psr_threshold,
+                 mesh: Mesh | None = None,
+                 track_after: int = DEFAULT_TRACK_AFTER,
+                 track_every: int = DEFAULT_TRACK_EVERY,
+                 states=None):
+    """Run the scan engine over C channels, sharded over `ch`.
+
+    buffers: pair of [C, N] float32 (see ops/cplx.py), each padded like
+             trigger.scan_engine expects (LOOKBACK zero head + WINDOW tail).
+    states:  optional [C,...] TriggerState carry from a previous call
+             (fresh init per channel if None).
+    returns: (final_states [C,...], StepOutput [n_steps, C, R, ...])
+
+    The jitted engine is a single module-level function so repeated calls
+    with the same (shape, n_steps) hit XLA's executable cache instead of
+    re-tracing a fresh closure each time (which recompiled per call and cost
+    seconds of host time per invocation).
+    """
+    c = buffers[0].shape[0]
+    if states is None:
+        states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (c,) + x.shape), trig.init_state())
+
     if mesh is not None:
         cs = NamedSharding(mesh, P("ch"))
         buffers = jax.device_put(buffers, cs)
         states = jax.device_put(states, cs)
-        fn = jax.jit(fn, in_shardings=(cs, cs), out_shardings=(cs, cs))
-    else:
-        fn = jax.jit(fn)
-    final, out = fn(buffers, states)
+    final, out = _channel_scan_jit(buffers, states,
+                                   jnp.asarray(psr_threshold, jnp.float32),
+                                   n_steps, track_after, track_every)
     # out is [C, n_steps, R, ...] under vmap; transpose to [n_steps, C, R,...]
     out = jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 0, 1), out)
     return final, out
