@@ -4,17 +4,18 @@
 Programmatic replacement for the reference's snr_ltetrigger.grc GUI demo
 (SURVEY §2.1: file source + noise source + adder + SNR meter, detection
 observed by eye).  Here the whole sweep is ONE batched device program: each
-SNR point becomes a channel of the multi-channel scan engine, so a 20-point
-curve costs one jit invocation (and shards across chips via the `ch` mesh
-axis when available).
+(SNR point x noise trial) becomes a channel of the multi-channel scan
+engine, so a 20-point, 8-trial curve costs one jit invocation (and shards
+across chips via the `ch` mesh axis when available).
 
 Library use:
     from ltetrigger_tpu.apps.snr_sweep import snr_sweep
-    curve = snr_sweep(iq, sample_rate, snrs_db=range(-10, 11, 2))
+    curve = snr_sweep(iq, sample_rate, snrs_db=range(-10, 11, 2), n_trials=8)
 
 CLI:
     python -m ltetrigger_tpu.apps.snr_sweep capture.iq -s 1.92M \\
-        --snr-min -10 --snr-max 10 --snr-step 2 [--seconds 0.5] [--seed 0]
+        --snr-min -10 --snr-max 10 --snr-step 2 [--seconds 0.5] [--seed 0] \\
+        [--trials 8] [--no-combine]
 """
 
 from __future__ import annotations
@@ -28,8 +29,16 @@ import numpy as np
 
 def snr_sweep(iq: np.ndarray, sample_rate: float, snrs_db,
               seconds: float = 0.5, psr_threshold: float = 4.0,
-              seed: int = 0, mesh=None) -> list[dict]:
-    """Detection stats per SNR point. SNR = signal power / noise power."""
+              seed: int = 0, mesh=None, n_trials: int = 1,
+              combine: bool = True) -> list[dict]:
+    """Detection stats per SNR point. SNR = signal power / noise power.
+
+    n_trials > 1 runs that many independent noise realizations per SNR
+    point (all as channels of one device program) and reports the
+    detection probability.  combine=False disables MIB soft-combining
+    across the 40 ms PBCH TTI (stateless per-subframe decoding) for
+    sensitivity A/B measurement.
+    """
     import jax.numpy as jnp
 
     from ..ltecore.constants import SAMPLE_RATE
@@ -49,12 +58,14 @@ def snr_sweep(iq: np.ndarray, sample_rate: float, snrs_db,
     chans = []
     for snr_db in snrs_db:
         npow = 10 ** (-snr_db / 10.0)
-        noise = rng.normal(size=sig.size) + 1j * rng.normal(size=sig.size)
-        noise *= np.sqrt(npow / 2.0)
-        chans.append(sig + noise)
+        for _ in range(n_trials):
+            noise = rng.normal(size=sig.size) + 1j * rng.normal(size=sig.size)
+            noise *= np.sqrt(npow / 2.0)
+            chans.append(sig + noise)
     arr = np.stack(chans).astype(np.complex64)
-    pad_head = np.zeros((len(snrs_db), trig.LOOKBACK), np.complex64)
-    pad_tail = np.zeros((len(snrs_db), trig.WINDOW), np.complex64)
+    c = arr.shape[0]
+    pad_head = np.zeros((c, trig.LOOKBACK), np.complex64)
+    pad_tail = np.zeros((c, trig.WINDOW), np.complex64)
     arr = np.concatenate([pad_head, arr, pad_tail], axis=1)
     buffers = (jnp.asarray(arr.real.astype(np.float32)),
                jnp.asarray(arr.imag.astype(np.float32)))
@@ -62,24 +73,28 @@ def snr_sweep(iq: np.ndarray, sample_rate: float, snrs_db,
     n_steps = total // (trig.HALF_FRAME_LENGTH - trig.LOOKBACK - 1) + 1
     final, out = channel_scan(buffers, n_steps,
                               api.ensure_safe_threshold(psr_threshold),
-                              mesh=mesh)
+                              mesh=mesh, combine=combine)
 
     track = np.asarray(out.track_event)       # [steps, C, R]
     psr = np.asarray(out.psr)
     cell_ids = np.asarray(out.cell_id)
     results = []
-    for c, snr_db in enumerate(snrs_db):
-        ev = track[:, c, :]
-        detected = bool(ev.any())
+    for i, snr_db in enumerate(snrs_db):
+        lanes = slice(i * n_trials, (i + 1) * n_trials)
+        ev = track[:, lanes, :]               # [steps, trials, R]
+        det_per_trial = ev.any(axis=(0, 2))   # [trials]
+        detected = bool(det_per_trial.any())
         rec = {
             "snr_db": float(snr_db),
             "detected": detected,
-            "max_psr": float(psr[:, c, :].max()),
-            "mean_psr": float(psr[:, c, :].mean()),
+            "prob": float(det_per_trial.mean()),
+            "n_trials": n_trials,
+            "max_psr": float(psr[:, lanes, :].max()),
+            "mean_psr": float(psr[:, lanes, :].mean()),
         }
         if detected:
-            s, r = np.argwhere(ev)[0]
-            rec["cell_id"] = int(cell_ids[s, c, r])
+            s, t, r = np.argwhere(ev)[0]
+            rec["cell_id"] = int(cell_ids[s, i * n_trials + t, r])
             rec["steps_to_detect"] = int(s)
         results.append(rec)
     return results
@@ -97,12 +112,16 @@ def main(argv=None) -> int:
     p.add_argument("--seconds", type=float, default=0.5)
     p.add_argument("--threshold", type=eng_float, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trials", type=int, default=1)
+    p.add_argument("--no-combine", action="store_true",
+                   help="disable MIB soft-combining across the PBCH TTI")
     args = p.parse_args(argv)
 
     iq = np.fromfile(args.filename, dtype=np.complex64)
     snrs = np.arange(args.snr_min, args.snr_max + 1e-9, args.snr_step)
     curve = snr_sweep(iq, args.sample_rate, snrs, seconds=args.seconds,
-                      psr_threshold=args.threshold, seed=args.seed)
+                      psr_threshold=args.threshold, seed=args.seed,
+                      n_trials=args.trials, combine=not args.no_combine)
     print(json.dumps(curve, indent=2))
     return 0
 

@@ -211,9 +211,6 @@ class Trigger:
         self._state = trig.init_state(start_pos=0)
         self._buf = np.zeros(LOOKBACK, dtype=np.complex64)
         self._base = -LOOKBACK   # stream index of self._buf[0]
-        self._step = jax.jit(functools.partial(
-            trig.trigger_step, track_after=track_after,
-            track_every=track_every))
         # multi-step scan over a buffered chunk: amortizes the per-dispatch
         # round trip (~1 ms once this runtime has seen a D2H transfer, see
         # bench.py) over scan_chunk steps

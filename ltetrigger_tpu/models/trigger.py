@@ -3,25 +3,48 @@
 This is the framework's flagship "model".  The reference implements it as a
 GNU Radio hier block of 12 threads (3x pss -> sss -> mib + tag_debug,
 python/downlink_trigger_c.py:27-45) with data-dependent stream consumption.
-Here the whole thing is ONE fixed-shape jitted step function:
+Here the whole thing is ONE fixed-shape jitted program in TWO passes:
 
-  * the three N_id_2 chains are a leading batch dim of every tensor;
-  * per-block state (tracking score/timer, EMA'd correlation, PSR/CFO
-    telemetry rings, published flag) is a TriggerState pytree carried
-    through lax.scan;
-  * the reference's variable `consume_each` becomes a per-root stream
-    position in the carry, with windows gathered by dynamic_slice;
-  * stream tags (tracking_lost / cell_id / cp_type) become booleans in the
-    step output; PMT track/drop messages become event records the host
-    cellstore consumes;
-  * IQ rides as float32 (re, im) pairs — this TPU has no complex dtype, and
-    the MXU wouldn't want one (see ops/cplx.py).
+  pass 1 — lax.scan over half-frame steps (the streaming state machine):
+    * the three N_id_2 chains are a leading batch dim of every tensor;
+    * per-block state (tracking score/timer, EMA'd correlation, PSR/CFO
+      telemetry rings) is a TriggerState pytree carried through the scan;
+    * the reference's variable `consume_each` becomes a per-root stream
+      position in the carry, with windows gathered by dynamic_slice;
+    * MIB is NOT decoded inside the scan.  Steps that would attempt a MIB
+      decode (tagged subframe-0 half-frame, nothing published) instead
+      CAPTURE the aligned slot-1 samples into one of K candidate slots in
+      the carry.  Inside a scan every serial step pays full latency for the
+      Viterbi's 120 sequential ACS stages — and under vmap (multi-channel)
+      `lax.cond` lowers to select so the decode would run for every channel
+      every step.  Capturing is a few masked writes.
+
+  pass 2 — one batched post-pass per scan call (`_mib_postpass`):
+    * all K candidates x 3 roots x 12 (port, TTI-phase) hypotheses are
+      decoded in ONE batched PBCH pipeline and ONE batched wrap-around
+      Viterbi — the latency-bound serial trellis runs once per dispatch
+      instead of once per step;
+    * the 40 ms TTI soft-combining accumulator (reference
+      srslte_ue_mib_decode's frame buffer, lib/mib_impl.cc:75-76,162) is a
+      short lax.scan over the K candidate slots, carried across calls in
+      TriggerState.llr_acc;
+    * track/drop events and the published-cell state machine are assembled
+      with log-depth associative scans over the step axis, reproducing the
+      in-scan semantics exactly (publish on first CRC-valid decode of an
+      acquisition epoch, drop on the first tracking loss while published).
 
 Faithful semantics (reference lib/pss_impl.cc:154-223, SURVEY §2.3):
   score hysteresis with track_after saturation, EMA reset on acquisition and
   loss, track_every correlation skipping with PSR reuse, peak pinning to the
   slot boundary once aligned, CFO running-mean correction only while
   tracking, and the tracking_lost cascade that retracts a published cell.
+
+Capture-capacity note: a scan of n_steps can capture at most K candidates
+per root (default 16).  Within one acquisition epoch that caps soft
+combining at K subframes — 4x the reference's own TTI window — and a cell
+whose first CRC success would come after >K attempts inside a single scan
+chunk is deferred to the next chunk's captures.  The host drivers
+(api.search / api.Trigger) scan in chunks of <= 25 steps, well under K x 2.
 """
 
 from __future__ import annotations
@@ -44,6 +67,7 @@ LOOKBACK = PSS_SYMBOL_START             # 832 samples of history before `pos`
 # window: lookback + search span + room to emit an aligned half-frame
 WINDOW = LOOKBACK + 2 * HALF_FRAME_LENGTH + SYMBOL_SZ  # 20160
 MAX_FRAME_START = HALF_FRAME_LENGTH - 1 - LOOKBACK     # 8767
+K_CANDIDATES = 16                       # MIB candidate slots per root
 
 
 class TriggerState(NamedTuple):
@@ -65,10 +89,30 @@ class TriggerState(NamedTuple):
     llr_acc: jnp.ndarray      # [R, 12, 120] f32 — PBCH TTI soft-combine acc
     mib_n: jnp.ndarray        # [R] int32 — subframe-0 attempts combined
     mib_cell: jnp.ndarray     # [R] int32 — cell id the accumulator belongs to
+    cand_slot1: jnp.ndarray   # [R, K, 2, 960] f32 — captured slot-1 samples
+    cand_cell: jnp.ndarray    # [R, K] int32
+    cand_cp: jnp.ndarray      # [R, K] bool
+    cand_fresh: jnp.ndarray   # [R, K] bool — candidate restarts the TTI acc
+    cand_cnt: jnp.ndarray     # [R] int32 — slots filled this scan chunk
+    pending_fresh: jnp.ndarray  # [R] bool — loss seen since last capture
+
+
+class RawStepOutput(NamedTuple):
+    """Per-step observables of the scan pass (pre-MIB)."""
+    cand_slot: jnp.ndarray    # int32 — candidate slot captured, -1 if none
+    lost_flag: jnp.ndarray    # bool — tracking_lost emitted this step
+    cell_id: jnp.ndarray      # int32
+    normal_cp: jnp.ndarray    # bool
+    psr: jnp.ndarray          # f32
+    score: jnp.ndarray        # int32
+    tracking: jnp.ndarray     # bool
+    cfo_mean: jnp.ndarray     # f32
+    consumed: jnp.ndarray     # int32
 
 
 class StepOutput(NamedTuple):
-    """Per-step, per-root observables (events + telemetry)."""
+    """Per-step, per-root observables (events + telemetry) — the public
+    contract of scan_engine, unchanged by the two-pass restructure."""
     track_event: jnp.ndarray  # bool — publish this cell (reference: `track` PMT)
     drop_event: jnp.ndarray   # bool — retract published cell (`drop` PMT)
     drop_cell_id: jnp.ndarray # int32 — the previously *published* cell id
@@ -86,8 +130,10 @@ class StepOutput(NamedTuple):
     consumed: jnp.ndarray     # int32
 
 
-def init_state(start_pos: int = LOOKBACK) -> TriggerState:
+def init_state(start_pos: int = LOOKBACK,
+               k_candidates: int = K_CANDIDATES) -> TriggerState:
     z = jnp.zeros
+    k = k_candidates
     return TriggerState(
         pos=jnp.full((R,), start_pos, dtype=jnp.int32),
         ema=z((R, HALF_FRAME_LENGTH), jnp.float32),
@@ -106,6 +152,12 @@ def init_state(start_pos: int = LOOKBACK) -> TriggerState:
         llr_acc=z((R, 12, 120), jnp.float32),
         mib_n=z((R,), jnp.int32),
         mib_cell=jnp.full((R,), -1, dtype=jnp.int32),
+        cand_slot1=z((R, k, 2, SLOT_LENGTH), jnp.float32),
+        cand_cell=jnp.full((R, k), -1, dtype=jnp.int32),
+        cand_cp=z((R, k), bool),
+        cand_fresh=z((R, k), bool),
+        cand_cnt=z((R,), jnp.int32),
+        pending_fresh=jnp.ones((R,), dtype=bool),
     )
 
 
@@ -125,26 +177,26 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
                  track_after: int = DEFAULT_TRACK_AFTER,
                  track_every: int = DEFAULT_TRACK_EVERY,
                  active: jnp.ndarray | None = None):
-    """One half-frame step for all three roots.
+    """One half-frame step for all three roots (scan pass: no MIB decode).
 
     windows: pair of [R, WINDOW] float32 — per-root window; sample LOOKBACK
              of window r is the sample at state.pos[r].
     active:  [R] bool — roots with exhausted input are frozen (no-ops).
-    returns: (next_state, StepOutput)
+    returns: (next_state, RawStepOutput)
     """
     if active is None:
         active = jnp.ones((R,), dtype=bool)
+    K = state.cand_cell.shape[-1]
 
     search = (~state.tracking) | (state.timer == 0)
     timer = jnp.where(search, track_every, state.timer - 1)
 
-    # --- PSS correlation: one conv, 3 roots as output channels; root r
-    #     consults its own lane of the [R, 3, 9600] result ---
+    # --- PSS correlation: root r's window lane against root r only (the
+    #     diagonal correlator — lane r never consults other roots) ---
     srch = cplx.index(windows,
                       (slice(None), slice(LOOKBACK,
                                           LOOKBACK + correlate.V2_WINDOW)))
-    power_all = correlate.default_power(srch)
-    power = power_all[jnp.arange(R), jnp.arange(R)]            # [R, 9600]
+    power = correlate.default_power_diag(srch)                 # [R, 9600]
     ema = jnp.where(search[:, None],
                     PSR_EMA_ALPHA * power + (1 - PSR_EMA_ALPHA) * state.ema,
                     state.ema)
@@ -200,70 +252,41 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
                          _ring_push(cfo_ring, cfo_count, cfo_est), cfo_ring)
     cfo_count = cfo_count + cfo_push.astype(jnp.int32)
     cfo_mean = _ring_mean(cfo_ring, cfo_count)
-    corrected = cfo_ops.cfo_correct(aligned, -cfo_mean / SYMBOL_SZ)
-    aligned = cplx.where(tracking[:, None], corrected, aligned)
+    # only the first subframe is consumed downstream (SSS/CP read slot 0,
+    # the MIB candidate is slot 1) — correcting the remaining 7680 samples
+    # of the half-frame would be wasted NCO work
+    sf = cplx.index(aligned, (slice(None), slice(0, 2 * SLOT_LENGTH)))
+    corrected = cfo_ops.cfo_correct(sf, -cfo_mean / SYMBOL_SZ)
+    sf = cplx.where(tracking[:, None], corrected, sf)
 
     # --- SSS: CP detect + cell identity (tags in the reference) ---
-    normal_cp = sync.detect_cp(aligned)
+    normal_cp = sync.detect_cp(sf)
     nid2 = jnp.arange(R, dtype=jnp.int32)
-    n_id_1, sub5 = sync.sss_decode(aligned, nid2, normal_cp)
+    n_id_1, sub5 = sync.sss_decode(sf, nid2, normal_cp)
     sss_valid = n_id_1 >= 0
     cell_id = 3 * jnp.maximum(n_id_1, 0) + nid2
     tagged = emit & (~lost) & sss_valid
 
-    # --- MIB attempt with 40 ms TTI soft-combining (the reference's
-    #     ue_mib_decode frame buffer, lib/mib_impl.cc:75-76,162, recast as a
-    #     [12, 120] LLR accumulator in the carry).  The decode (OFDM +
-    #     chest + 12 Viterbi hypotheses) is the step's heaviest block and it
-    #     only matters when a root has a tagged subframe-0 half-frame and no
-    #     published cell — so each root's attempt sits behind its own SCALAR
-    #     lax.cond (unrolled, R=3), which on TPU executes only the taken
-    #     branch; inside, the CP hypothesis is another scalar cond
-    #     (pbch._contrib_cond).  Subframe-5 halves (sub5 from the SSS m0/m1
-    #     order) are gated out entirely — the reference feeds them to
-    #     ue_mib_decode where they just fail CRC (lib/mib_impl.cc:122-135
-    #     only early-outs on missing tags). ---
-    sf = cplx.index(aligned, (slice(None), slice(0, 2 * SLOT_LENGTH)))
-    want_mib = active & tagged & (~state.published) & (~sub5)
-
-    def attempt_root(operand):
-        sf_, cid_, ncp_, acc_, n_, same_ = operand
-        acc_ = jnp.where(same_, acc_, jnp.zeros_like(acc_))
-        n_ = jnp.where(same_, n_, 0)
-        acc_new, res = pbch.mib_combine_decode(sf_, cid_, ncp_, acc_, n_)
-        return acc_new, n_ + 1, res
-
-    def skip_root(operand):
-        _, _, _, acc_, n_, _ = operand
-        z = jnp.zeros((), jnp.int32)
-        res = {"found": jnp.zeros((), bool), "nof_prb": z, "nof_ports": z,
-               "phich_ext": z, "phich_res": z, "sfn_offset": z, "quarter": z,
-               "metric": jnp.zeros((), jnp.float32)}
-        return acc_, n_, res
-
-    same_cell = state.mib_cell == cell_id
-    accs, ns, ress = [], [], []
-    for r in range(R):
-        acc_r, n_r, res_r = jax.lax.cond(
-            want_mib[r], attempt_root, skip_root,
-            ((sf[0][r], sf[1][r]), cell_id[r], normal_cp[r],
-             state.llr_acc[r], state.mib_n[r], same_cell[r]))
-        accs.append(acc_r)
-        ns.append(n_r)
-        ress.append(res_r)
-    mib = {k: jnp.stack([res[k] for res in ress]) for k in ress[0]}
-    llr_acc = jnp.stack(accs)
-    mib_n = jnp.stack(ns)
-    mib_cell = jnp.where(want_mib, cell_id, state.mib_cell)
-    # tracking loss flushes the accumulator like every other telemetry ring
-    llr_acc = jnp.where(lost[:, None, None], 0.0, llr_acc)
-    mib_n = jnp.where(lost, 0, mib_n)
-    mib_cell = jnp.where(lost, -1, mib_cell)
-
-    track_event = active & tagged & mib["found"] & (~state.published)
-    drop_event = active & emit & lost & state.published
-    published = (state.published | track_event) & ~drop_event
-    pub_cell_id = jnp.where(track_event, cell_id, state.pub_cell_id)
+    # --- MIB candidate capture (decode happens in _mib_postpass).
+    #     Subframe-5 halves (sub5 from the SSS m0/m1 order) are gated out —
+    #     the reference feeds them to ue_mib_decode where they just fail CRC
+    #     (lib/mib_impl.cc:122-135 only early-outs on missing tags). ---
+    want_cap = (active & tagged & (~state.published) & (~sub5)
+                & (state.cand_cnt < K))
+    fresh = state.pending_fresh | (cell_id != state.mib_cell)
+    onehot = ((jnp.arange(K, dtype=jnp.int32)[None, :]
+               == state.cand_cnt[:, None]) & want_cap[:, None])   # [R, K]
+    slot1 = jnp.stack([sf[0][:, SLOT_LENGTH:], sf[1][:, SLOT_LENGTH:]],
+                      axis=-2)                                    # [R, 2, 960]
+    cand_slot1 = jnp.where(onehot[:, :, None, None],
+                           slot1[:, None], state.cand_slot1)
+    cand_cell = jnp.where(onehot, cell_id[:, None], state.cand_cell)
+    cand_cp = jnp.where(onehot, normal_cp[:, None], state.cand_cp)
+    cand_fresh = jnp.where(onehot, fresh[:, None], state.cand_fresh)
+    cand_cnt = state.cand_cnt + want_cap.astype(jnp.int32)
+    mib_cell = jnp.where(want_cap, cell_id, state.mib_cell)
+    pending_fresh = (jnp.where(want_cap, False, state.pending_fresh)
+                     | (active & lost))
 
     # --- freeze inactive roots ---
     def frz(new, old):
@@ -285,22 +308,22 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
         psr_count=frz(psr_count, state.psr_count),
         cfo_ring=frz(cfo_ring, state.cfo_ring),
         cfo_count=frz(cfo_count, state.cfo_count),
-        published=frz(published, state.published),
-        pub_cell_id=frz(pub_cell_id, state.pub_cell_id),
-        llr_acc=frz(llr_acc, state.llr_acc),
-        mib_n=frz(mib_n, state.mib_n),
+        published=state.published,
+        pub_cell_id=state.pub_cell_id,
+        llr_acc=state.llr_acc,
+        mib_n=state.mib_n,
         mib_cell=frz(mib_cell, state.mib_cell),
+        cand_slot1=frz(cand_slot1, state.cand_slot1),
+        cand_cell=frz(cand_cell, state.cand_cell),
+        cand_cp=frz(cand_cp, state.cand_cp),
+        cand_fresh=frz(cand_fresh, state.cand_fresh),
+        cand_cnt=frz(cand_cnt, state.cand_cnt),
+        pending_fresh=frz(pending_fresh, state.pending_fresh),
     )
-    out = StepOutput(
-        track_event=track_event,
-        drop_event=drop_event,
-        drop_cell_id=state.pub_cell_id,
+    out = RawStepOutput(
+        cand_slot=jnp.where(want_cap, state.cand_cnt, -1),
+        lost_flag=active & emit & lost,
         cell_id=cell_id,
-        nof_prb=mib["nof_prb"],
-        nof_ports=mib["nof_ports"],
-        phich_ext=mib["phich_ext"],
-        phich_res=mib["phich_res"],
-        sfn_offset=mib["sfn_offset"],
         normal_cp=normal_cp,
         psr=psr,
         score=frz(score, state.score),
@@ -311,16 +334,146 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
     return next_state, out
 
 
+def _mib_postpass(state0: TriggerState, final: TriggerState,
+                  raw: RawStepOutput, combine: bool = True):
+    """Pass 2: batched MIB decode of the captured candidates + exact event
+    assembly.  Returns (final_state, StepOutput [n_steps, R, ...]).
+
+    combine=False forces every candidate to restart the TTI accumulator —
+    stateless single-subframe decoding, kept for sensitivity A/B
+    measurement (apps/snr_sweep.py --no-combine)."""
+    K = final.cand_cell.shape[-1]
+
+    # 1. PBCH quarter-LLR contributions of every candidate, both CP
+    #    hypotheses batched (the CP is a traced per-candidate value)
+    flat = (final.cand_slot1[:, :, 0].reshape(R * K, SLOT_LENGTH),
+            final.cand_slot1[:, :, 1].reshape(R * K, SLOT_LENGTH))
+    both = jax.vmap(pbch.quarter_llrs_both_cp)(
+        flat, final.cand_cell.reshape(R * K))        # [RK, 2, 3, 4, 120]
+    both = both.reshape(R, K, 2, 3, 4, 120)
+    contrib = jnp.where(final.cand_cp[:, :, None, None, None],
+                        both[:, :, 1], both[:, :, 0])  # [R, K, 3, 4, 120]
+
+    ks = jnp.arange(K, dtype=jnp.int32)
+    valid = ks[None, :] < final.cand_cnt[:, None]      # [R, K]
+
+    # 2. TTI soft-combining chain over the K slots (cheap sequential pass;
+    #    semantics of pbch.mib_combine_decode: 4 TTI-phase hypotheses, phase
+    #    h restarts its accumulator at quarter 0)
+    def chain(carry, xs):
+        acc, n, cell = carry                  # [R,3,4,120], [R], [R]
+        c_k, fresh_k, cell_k, valid_k = xs
+        if not combine:
+            fresh_k = jnp.ones_like(fresh_k)
+        restart = fresh_k | (cell_k != cell)
+        n_k = jnp.where(restart, 0, n)
+        q = jnp.mod(n_k[:, None] + jnp.arange(4, dtype=jnp.int32), 4)  # [R,4]
+        sel = jnp.take_along_axis(c_k, q[:, None, :, None], axis=2)
+        acc_new = jnp.where((q == 0)[:, None, :, None], sel, acc + sel)
+        acc_out = jnp.where(valid_k[:, None, None, None], acc_new, acc)
+        n_out = jnp.where(valid_k, n_k + 1, n)
+        cell_out = jnp.where(valid_k, cell_k, cell)
+        return (acc_out, n_out, cell_out), (acc_out, q)
+
+    xs = (jnp.moveaxis(contrib, 1, 0), jnp.moveaxis(final.cand_fresh, 1, 0),
+          jnp.moveaxis(final.cand_cell, 1, 0), jnp.moveaxis(valid, 1, 0))
+    acc0 = state0.llr_acc.reshape(R, 3, 4, 120)
+    (acc_f, n_f, cell_f), (accs, qs) = jax.lax.scan(
+        chain, (acc0, state0.mib_n, state0.mib_cell), xs)
+    # accs: [K, R, 3, 4, 120]; qs: [K, R, 4]
+
+    # 3. ONE batched codeword search over all K x R x 12 hypotheses
+    llrs12 = accs.reshape(K * R, 12, 120)
+    quarter_of = jnp.tile(qs.reshape(K * R, 1, 4), (1, 3, 1)).reshape(-1, 12)
+    res = jax.vmap(pbch.search_and_unpack)(llrs12, quarter_of)
+    found = res["found"].reshape(K, R).T & valid               # [R, K]
+
+    def rk(a):
+        return a.reshape(K, R).T                               # [R, K]
+
+    # 4. publish-once-per-epoch: epoch = cumulative fresh count; the first
+    #    CRC-valid candidate of an epoch publishes (epoch 0 continues the
+    #    pre-chunk accumulator and cannot publish if already published)
+    fresh_eff = final.cand_fresh & valid
+    e = jnp.cumsum(fresh_eff.astype(jnp.int32), axis=1)        # [R, K]
+    same_ep = e[:, :, None] == e[:, None, :]
+    j_lt_k = ks[None, None, :] < ks[None, :, None]
+    prior = jnp.any(same_ep & j_lt_k & found[:, None, :], axis=-1)
+    is_pub = found & ~prior & ~(state0.published[:, None] & (e == 0))
+
+    # 5. map candidate verdicts back to step space
+    slot = raw.cand_slot                                       # [S, R]
+    cap = slot >= 0
+    sl = jnp.clip(slot, 0, K - 1)
+    ridx = jnp.arange(R, dtype=jnp.int32)[None, :]
+    track_event = cap & is_pub[ridx, sl]
+
+    def fld(a):                                                # [R,K] -> [S,R]
+        return jnp.where(track_event, a[ridx, sl], 0)
+
+    nof_prb = fld(rk(res["nof_prb"]))
+    nof_ports = fld(rk(res["nof_ports"]))
+    phich_ext = fld(rk(res["phich_ext"]))
+    phich_res = fld(rk(res["phich_res"]))
+    sfn_offset = fld(rk(res["sfn_offset"]))
+
+    # 6. published/drop state machine over steps, log-depth:
+    #    p' = track | (p & ~lost)  — linear boolean recurrence
+    t, l = track_event, raw.lost_flag
+    A, B = jax.lax.associative_scan(
+        lambda x, y: (x[0] & y[0], (x[1] & y[0]) | y[1]), (~l, t), axis=0)
+    p0 = state0.published[None, :]
+    p_incl = (p0 & A) | B                                      # [S, R]
+    p_before = jnp.concatenate([jnp.broadcast_to(p0, (1, R)), p_incl[:-1]])
+    drop_event = l & p_before
+    # last published cell id (updated at track steps)
+    S2, I2 = jax.lax.associative_scan(
+        lambda x, y: (x[0] | y[0], jnp.where(y[0], y[1], x[1])),
+        (t, jnp.where(t, raw.cell_id, 0)), axis=0)
+    id0 = state0.pub_cell_id[None, :]
+    id_incl = jnp.where(S2, I2, id0)
+    id_before = jnp.concatenate([jnp.broadcast_to(id0, (1, R)), id_incl[:-1]])
+
+    final_state = final._replace(
+        published=p_incl[-1],
+        pub_cell_id=id_incl[-1],
+        llr_acc=acc_f.reshape(R, 12, 120),
+        mib_n=n_f,
+        mib_cell=cell_f,
+        cand_cnt=jnp.zeros_like(final.cand_cnt),
+    )
+    out = StepOutput(
+        track_event=track_event,
+        drop_event=drop_event,
+        drop_cell_id=id_before,
+        cell_id=raw.cell_id,
+        nof_prb=nof_prb,
+        nof_ports=nof_ports,
+        phich_ext=phich_ext,
+        phich_res=phich_res,
+        sfn_offset=sfn_offset,
+        normal_cp=raw.normal_cp,
+        psr=raw.psr,
+        score=raw.score,
+        tracking=raw.tracking,
+        cfo_mean=raw.cfo_mean,
+        consumed=raw.consumed,
+    )
+    return final_state, out
+
+
 def scan_engine(buffer: cplx.Pair, state: TriggerState, n_steps: int,
                 psr_threshold,
                 track_after: int = DEFAULT_TRACK_AFTER,
                 track_every: int = DEFAULT_TRACK_EVERY,
-                n_valid: jnp.ndarray | None = None):
+                n_valid: jnp.ndarray | None = None,
+                combine: bool = True):
     """Device-resident engine: scan `n_steps` half-frame steps over a
-    padded stream buffer (the whole GNU Radio scheduler collapses to this).
+    padded stream buffer, then batch-decode the captured MIB candidates
+    (the whole GNU Radio scheduler collapses to this).
 
     buffer: pair of [N] float32; must start with >= LOOKBACK zeros and be
-            long enough that any active pos can gather a full WINDOW.
+    long enough that any active pos can gather a full WINDOW.
     n_valid: logical end of data in `buffer` (default: len(buffer)).
     returns: (final_state, StepOutput stacked [n_steps, R, ...])
     """
@@ -339,4 +492,5 @@ def scan_engine(buffer: cplx.Pair, state: TriggerState, n_steps: int,
         return trigger_step(st, windows, thresh, track_after, track_every,
                             active=active)
 
-    return jax.lax.scan(step, state, None, length=n_steps)
+    final, raw = jax.lax.scan(step, state, None, length=n_steps)
+    return _mib_postpass(state, final, raw, combine=combine)

@@ -194,6 +194,47 @@ def pss_correlate_power_cfo_bins(window: cplx.Pair, bins=(-2, -1, 0, 1, 2),
     return power.reshape(batch + (len(bins), N_ROOTS, SEARCH_LEN))
 
 
+def pss_correlate_power_diag(window: cplx.Pair,
+                             matmul_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Per-root correlation: window lane r against root r ONLY.
+
+    The trigger state machine keeps one stream position per N_id_2 root
+    (SURVEY §2.3's three parallel pss chains), so its per-step batch is
+    [R=3] windows of which lane r only ever consults root r.  Correlating
+    each lane against all 3 roots and taking the diagonal (the original
+    formulation) does 3x the MXU work and writes 3x the correlation power;
+    this computes just the diagonal.
+
+    window: pair of [..., 3, >= V2_WINDOW] float32
+    returns: [..., 3, SEARCH_LEN] float32
+    """
+    wr, wi = window
+    batch = wr.shape[:-1]                            # [..., 3]
+    nblk = HALF_FRAME_LENGTH // SYMBOL_SZ
+    x0 = jnp.concatenate(
+        [wr[..., :HALF_FRAME_LENGTH].reshape(batch + (nblk, SYMBOL_SZ)),
+         wi[..., :HALF_FRAME_LENGTH].reshape(batch + (nblk, SYMBOL_SZ))],
+        axis=-1)                                     # [..., 3, 75, 256]
+    x1 = jnp.concatenate(
+        [wr[..., SYMBOL_SZ:V2_WINDOW].reshape(batch + (nblk, SYMBOL_SZ)),
+         wi[..., SYMBOL_SZ:V2_WINDOW].reshape(batch + (nblk, SYMBOL_SZ))],
+        axis=-1)
+    WLn, WUn = _toeplitz_weights()                   # [256, 768]
+    WL = np.stack([WLn[:, r * 256:(r + 1) * 256] for r in range(N_ROOTS)])
+    WU = np.stack([WUn[:, r * 256:(r + 1) * 256] for r in range(N_ROOTS)])
+    c = jnp.einsum("...rbk,rko->...rbo",
+                   x0.astype(matmul_dtype),
+                   jnp.asarray(WL).astype(matmul_dtype),
+                   preferred_element_type=jnp.float32) \
+        + jnp.einsum("...rbk,rko->...rbo",
+                     x1.astype(matmul_dtype),
+                     jnp.asarray(WU).astype(matmul_dtype),
+                     preferred_element_type=jnp.float32)  # [..., 3, 75, 256]
+    c = c.reshape(batch + (nblk, 2, SYMBOL_SZ))
+    power = c[..., 0, :] ** 2 + c[..., 1, :] ** 2    # [..., 3, 75, 128]
+    return power.reshape(batch + (SEARCH_LEN,))
+
+
 import os as _os  # noqa: E402
 
 # Shipped default for the hot path; override with LTETRIGGER_CORRELATOR in
@@ -202,6 +243,14 @@ _IMPLS = {"fast": pss_correlate_power_fast,
           "v2": pss_correlate_power_v2,
           "v1": pss_correlate_power}
 default_power = _IMPLS[_os.environ.get("LTETRIGGER_CORRELATOR", "fast")]
+
+
+def default_power_diag(window: cplx.Pair) -> jnp.ndarray:
+    """Diagonal correlator at the session's default matmul precision."""
+    dtype = (jnp.bfloat16
+             if _os.environ.get("LTETRIGGER_CORRELATOR", "fast") == "fast"
+             else jnp.float32)
+    return pss_correlate_power_diag(window, matmul_dtype=dtype)
 
 
 def peak_and_psr(power: jnp.ndarray, lobe_limit: int = 64):

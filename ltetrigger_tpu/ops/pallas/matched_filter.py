@@ -5,8 +5,15 @@ matmuls), but with the correlation intermediate kept in VMEM and squared to
 power in-kernel — the [75, 768] complex correlation never round-trips
 through HBM.  One grid cell = one window.
 
-This is the framework's hand-written-kernel escape hatch; the XLA paths in
-ops/correlate.py remain the defaults and the golden references.
+STATUS: demoted to an educational escape hatch, deliberately NOT on the
+hot path (VERDICT r1 item 9 resolution).  Fenced on-hardware measurement
+(BENCHNOTES.md) showed XLA already fuses the downstream peak/PSR reduction
+into the matmul consumer — the [B, 3, 9600] power tensor is never
+materialized in HBM when a reduction consumes it, which was this kernel's
+entire premise.  The XLA paths in ops/correlate.py are the defaults and the
+golden references; this kernel is kept compiling + equivalence-tested
+(tests/test_ops.py interpret mode, bench.py --verify on hardware) as the
+starting point if a future op genuinely needs manual fusion.
 """
 
 import functools

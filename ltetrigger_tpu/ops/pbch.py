@@ -31,7 +31,7 @@ from ..ltecore import coding, scrambling
 from ..ltecore.constants import (NOF_PRB_TABLE, SLOT_LENGTH, SYMBOL_SZ,
                                  symbol_data_offsets)
 from . import cplx, dft
-from .viterbi import viterbi_decode_tb
+from .viterbi import viterbi_decode_wa
 
 N_RB_MAX = 110
 E_BITS = {True: 480, False: 432}
@@ -229,9 +229,16 @@ def pbch_quarter_llrs(subframe: cplx.Pair, cell_id, normal_cp: bool):
     contributions are additive across subframes of one TTI — the basis for
     soft-combining (reference gets this inside srslte_ue_mib_decode /
     srslte_pbch_decode's frame buffer, lib/mib_impl.cc:75-76,162)."""
-    slot1 = ofdm_demod_slot(
+    return pbch_quarter_llrs_slot1(
         cplx.index(subframe, (..., slice(SLOT_LENGTH, 2 * SLOT_LENGTH))),
-        normal_cp)
+        cell_id, normal_cp)
+
+
+def pbch_quarter_llrs_slot1(slot1_td: cplx.Pair, cell_id, normal_cp: bool):
+    """pbch_quarter_llrs taking slot 1's time-domain samples directly.
+
+    slot1_td: pair of [960] float32 (the slot holding PBCH symbols 0-3)."""
+    slot1 = ofdm_demod_slot(slot1_td, normal_cp)
     v_shift = jnp.mod(cell_id, 6)
     l_idx, k_idx = _pbch_gather_indices(v_shift, normal_cp)
     y = (slot1[0][l_idx, k_idx], slot1[1][l_idx, k_idx])       # pair [E]
@@ -260,7 +267,7 @@ def codeword_search(llrs: jnp.ndarray, port_masks: jnp.ndarray):
     h = llrs.shape[0]
     # the trellis consumes step-major triplets [40, 3]
     r = jnp.transpose(llrs.reshape(h, 3, 40), (0, 2, 1))
-    bits, metric = viterbi_decode_tb(r)                         # [H, 40]
+    bits, metric = viterbi_decode_wa(r)                         # [H, 40]
 
     C = jnp.asarray(_crc_matrix())
     payload = bits[:, :24].astype(jnp.float32)
@@ -326,6 +333,22 @@ def _search_and_unpack(llrs12: jnp.ndarray, quarter_of: jnp.ndarray):
         "quarter": quarter_of[best],
         "metric": res["metric"][best],
     }
+
+
+def quarter_llrs_both_cp(slot1_td: cplx.Pair, cell_id) -> jnp.ndarray:
+    """[2, 3, 4, 120]: quarter LLR contributions under both CP hypotheses
+    (index 0 = Extended, 1 = Normal) — the batched-candidate post-pass shape,
+    where the CP is a traced per-candidate value so both static pipelines run
+    and the caller selects."""
+    e = pbch_quarter_llrs_slot1(slot1_td, cell_id, False)
+    n = pbch_quarter_llrs_slot1(slot1_td, cell_id, True)
+    return jnp.stack([e, n])
+
+
+def search_and_unpack(llrs12: jnp.ndarray, quarter_of: jnp.ndarray):
+    """Public alias of the 12-hypothesis codeword search (see
+    _search_and_unpack); vmap-friendly for batched candidate decoding."""
+    return _search_and_unpack(llrs12, quarter_of)
 
 
 def mib_decode(subframe: cplx.Pair, cell_id: jnp.ndarray,

@@ -1,11 +1,25 @@
-"""Batched exact tail-biting Viterbi decoder (K=7, rate 1/3) on TPU.
+"""Batched tail-biting Viterbi decoders (K=7, rate 1/3) on TPU.
 
 The reference gets Viterbi from srsLTE's SSE decoder inside
-srslte_ue_mib_decode (lib/mib_impl.cc:162).  TPU-native shape: the 64
-possible tail-biting initial states become a batch dimension, so one
-vectorized 40-step add-compare-select scan is exact maximum-likelihood —
-no wrap-around approximation.  All hypothesis batches (N_id_2 roots x
-port-count x scrambling quarter) ride the same leading dim.
+srslte_ue_mib_decode (lib/mib_impl.cc:162).  Two TPU-native decoders:
+
+  * viterbi_decode_wa (the default): wrap-around decode — the 40-symbol
+    LLR block is replicated 3x and a single 64-state trellis is run over
+    the 120 steps; the middle copy's decisions are the output.  This is the
+    same tail-biting strategy srsLTE itself uses for PBCH, and it is the
+    right shape for TPU: the predecessor butterfly is two STATIC slices of
+    the state axis (no gathers), and survivor paths are carried by
+    register exchange (per-state packed bit registers permuted by each
+    ACS decision) so no [steps, B, 64] decision history ever touches HBM
+    and there is no traceback pass at all.
+
+  * viterbi_decode_tb: exact maximum-likelihood tail-biting decode — the
+    64 possible init states become a batch dimension.  64x the state-metric
+    traffic of _wa; kept as the golden reference for tests and for
+    small-batch offline use.
+
+All hypothesis batches (N_id_2 roots x port-count x scrambling quarter)
+ride the same leading dim.
 """
 
 import functools
@@ -63,3 +77,79 @@ def viterbi_decode_tb(llr: jnp.ndarray):
 
     _, bits_rev = jax.lax.scan(trace, best_init, decisions[::-1])
     return bits_rev[::-1].T.astype(jnp.int32), metric
+
+
+@functools.lru_cache(maxsize=None)
+def _butterfly_tables():
+    """out_bits reorganized for the static butterfly: [2(drop), 64, 3]."""
+    _, out_np = _tables()                       # [64, 2, 3]
+    return np.ascontiguousarray(np.swapaxes(out_np, 0, 1))
+
+
+def viterbi_decode_wa(llr: jnp.ndarray):
+    """Wrap-around tail-biting decode (srsLTE's PBCH strategy).
+
+    llr: [B, 40, 3] float32 — +1 favours bit 0 (matches out_bits polarity).
+    returns: (bits [B, 40] int32, metric [B] float32)
+
+    The metric is the best path metric over the middle 40 steps' scale
+    (total 120-step metric / 3) so it is comparable to viterbi_decode_tb.
+
+    Trellis convention (ltecore/coding.trellis_tables): new state ns takes
+    input bit b = ns >> 5 from predecessor ps = ((ns & 0x1F) << 1) | drop.
+    So the two predecessors of ns are the even/odd pair (2*(ns&31),
+    2*(ns&31)+1) — i.e. m[:, ::2] and m[:, 1::2], each tiled twice along
+    the state axis.  Static slices, no gathers.
+
+    Survivor bits ride three per-state uint32 registers (96-step window
+    covers replicated steps 24..119 at the end; the wanted middle copy is
+    steps 40..79).
+    """
+    out_bits = jnp.asarray(_butterfly_tables())       # [2, 64, 3]
+    B = llr.shape[0]
+    n = llr.shape[1]
+    r3 = jnp.concatenate([llr, llr, llr], axis=1)     # [B, 3n, 3]
+    bit_s = (jnp.arange(N_STATES, dtype=jnp.uint32) >> 5) & 1   # [64]
+
+    def tile2(x):
+        # predecessor views: even preds (drop=0) and odd preds (drop=1),
+        # each repeated for the two successor halves s<32 / s>=32
+        return (jnp.tile(x[:, 0::2], (1, 2)), jnp.tile(x[:, 1::2], (1, 2)))
+
+    def acs(carry, r_t):
+        m, r2, r1, r0 = carry
+        br = jnp.einsum("dsc,bc->bds", out_bits, r_t)           # [B, 2, 64]
+        m_p0, m_p1 = tile2(m)
+        cand0 = m_p0 + br[:, 0]
+        cand1 = m_p1 + br[:, 1]
+        dec = cand1 > cand0                                      # [B, 64]
+        m_new = jnp.maximum(cand0, cand1)
+
+        def exch(r):
+            p0, p1 = tile2(r)
+            return jnp.where(dec, p1, p0)
+
+        r0p, r1p, r2p = exch(r0), exch(r1), exch(r2)
+        r0n = (r0p << 1) | bit_s[None, :]
+        r1n = (r1p << 1) | (r0p >> 31)
+        r2n = (r2p << 1) | (r1p >> 31)
+        return (m_new, r2n, r1n, r0n), None
+
+    m0 = jnp.zeros((B, N_STATES), jnp.float32)
+    z = jnp.zeros((B, N_STATES), jnp.uint32)
+    (m, r2, r1, r0), _ = jax.lax.scan(acs, (m0, z, z, z),
+                                      jnp.swapaxes(r3, 0, 1))
+
+    best = jnp.argmax(m, axis=-1)
+    metric = jnp.max(m, axis=-1) / 3.0
+    bidx = jnp.arange(B)
+    h2 = r2[bidx, best]        # chain bits k=64..95 -> steps 55..24
+    h1 = r1[bidx, best]        # chain bits k=32..63 -> steps 87..56
+    # decoded bit of replicated step t sits at chain position k = 3n-1-t
+    t = jnp.arange(n, dtype=jnp.uint32) + n       # steps 40..79 (middle copy)
+    k = jnp.uint32(3 * n - 1) - t                 # 79..40
+    from_r2 = k >= 64
+    word = jnp.where(from_r2[None, :], h2[:, None], h1[:, None])
+    shift = jnp.where(from_r2, k - 64, k - 32)
+    bits = (word >> shift[None, :]) & 1
+    return bits.astype(jnp.int32), metric

@@ -42,12 +42,12 @@ from ..models import trigger as trig
 
 # --------------------------------------------------------- channel scan ----
 @functools.partial(jax.jit, static_argnames=("n_steps", "track_after",
-                                             "track_every"))
+                                             "track_every", "combine"))
 def _channel_scan_jit(buffers, states, psr_threshold, n_steps,
-                      track_after, track_every):
+                      track_after, track_every, combine):
     def run(buf, st):
         return trig.scan_engine(buf, st, n_steps, psr_threshold,
-                                track_after, track_every)
+                                track_after, track_every, combine=combine)
 
     return jax.vmap(run)(buffers, states)
 
@@ -56,7 +56,7 @@ def channel_scan(buffers: jnp.ndarray, n_steps: int, psr_threshold,
                  mesh: Mesh | None = None,
                  track_after: int = DEFAULT_TRACK_AFTER,
                  track_every: int = DEFAULT_TRACK_EVERY,
-                 states=None):
+                 states=None, combine: bool = True):
     """Run the scan engine over C channels, sharded over `ch`.
 
     buffers: pair of [C, N] float32 (see ops/cplx.py), each padded like
@@ -81,7 +81,8 @@ def channel_scan(buffers: jnp.ndarray, n_steps: int, psr_threshold,
         states = jax.device_put(states, cs)
     final, out = _channel_scan_jit(buffers, states,
                                    jnp.asarray(psr_threshold, jnp.float32),
-                                   n_steps, track_after, track_every)
+                                   n_steps, track_after, track_every,
+                                   combine)
     # out is [C, n_steps, R, ...] under vmap; transpose to [n_steps, C, R,...]
     out = jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 0, 1), out)
     return final, out

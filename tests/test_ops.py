@@ -234,6 +234,33 @@ class TestPbch:
         assert not bool(out["found"])
 
 
+class TestViterbi:
+    def test_wraparound_matches_exact_tb(self):
+        """The wrap-around decoder (srsLTE's PBCH strategy, the production
+        path) must agree with the exact 64-init tail-biting decoder on
+        clean and noisy codewords, and both must invert conv_encode."""
+        from ltetrigger_tpu.ltecore import coding
+        from ltetrigger_tpu.ops.viterbi import (viterbi_decode_tb,
+                                                viterbi_decode_wa)
+        rng = np.random.default_rng(11)
+        for noise in (0.0, 0.6, 1.0):
+            bits_in = rng.integers(0, 2, size=(24, 40)).astype(np.uint8)
+            llr = np.stack([
+                (1.0 - 2.0 * coding.conv_encode(b).astype(np.float64)
+                 + noise * rng.normal(size=(3, 40))).T
+                for b in bits_in])
+            llr = jnp.asarray(llr, dtype=jnp.float32)
+            bt, mt = viterbi_decode_tb(llr)
+            bw, mw = viterbi_decode_wa(llr)
+            np.testing.assert_array_equal(np.asarray(bw), np.asarray(bt))
+            np.testing.assert_array_equal(np.asarray(bt), bits_in)
+            # the wa metric is the 120-step wrap path / 3: identical on
+            # clean codewords, a few % off under noise (outer thirds may
+            # take different survivor routes)
+            np.testing.assert_allclose(np.asarray(mw), np.asarray(mt),
+                                       rtol=1e-5 if noise == 0.0 else 0.05)
+
+
 class TestCorrelateV2:
     def test_v2_matches_v1(self, frame6):
         iq, _ = frame6
