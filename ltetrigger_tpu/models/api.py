@@ -39,8 +39,11 @@ def ensure_safe_threshold(t: float) -> float:
                                              "track_every"))
 def _scan_jit(buffer, state, psr_threshold, n_valid, n_steps,
               track_after, track_every):
-    return trig.scan_engine(buffer, state, n_steps, psr_threshold,
-                            track_after, track_every, n_valid=n_valid)
+    state, out = trig.scan_engine(buffer, state, n_steps, psr_threshold,
+                                  track_after, track_every, n_valid=n_valid)
+    # pack the 15 output fields into ONE array so the host drain is a
+    # single device->host transfer (see trigger.pack_output)
+    return state, trig.pack_output(out)
 
 
 def _prepare_buffer(iq: np.ndarray, sample_rate: float,
@@ -150,7 +153,7 @@ def search(iq: np.ndarray, sample_rate: float,
                                    track_every)
         steps_done += n
         with timer.stage("drain"):
-            host = jax.tree_util.tree_map(np.asarray, out)
+            host = trig.unpack_output(out)
             stop = _drain_events(host, store, found)
         if exit_on_success and stop:
             break
@@ -211,19 +214,24 @@ class Trigger:
         self._state = trig.init_state(start_pos=0)
         self._buf = np.zeros(LOOKBACK, dtype=np.complex64)
         self._base = -LOOKBACK   # stream index of self._buf[0]
+        # host mirror of state.pos, updated from the drained `consumed`
+        # column — avoids a device->host fetch per scan cycle (each costs
+        # ~25 ms of tunnel latency on this runtime)
+        self._pos_host = np.zeros(trig.R, dtype=np.int64)
         # multi-step scan over a buffered chunk: amortizes the per-dispatch
         # round trip (~1 ms once this runtime has seen a D2H transfer, see
         # bench.py) over scan_chunk steps
-        self.scan_chunk = 8
+        self.scan_chunk = 16
         # buffer lengths are padded up to multiples of this so the jitted
         # scan sees a handful of static shapes instead of one per call
         self._bucket = 16 * HALF_FRAME_LENGTH
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def _scan(buffer, state, thresh, n_valid, n_steps):
-            return trig.scan_engine(buffer, state, n_steps, thresh,
-                                    track_after, track_every,
-                                    n_valid=n_valid)
+            st, out = trig.scan_engine(buffer, state, n_steps, thresh,
+                                       track_after, track_every,
+                                       n_valid=n_valid)
+            return st, trig.pack_output(out)
 
         self._scan = _scan
 
@@ -271,7 +279,7 @@ class Trigger:
         while True:
             with self.timer.stage("prep"):
                 nbuf = len(self._buf)
-                pos_rel = np.asarray(self._state.pos) - self._base
+                pos_rel = self._pos_host - self._base
                 if not np.any(pos_rel + (WINDOW - LOOKBACK) <= nbuf):
                     break
                 # pad to a shape bucket: a fresh buffer length every call
@@ -293,7 +301,9 @@ class Trigger:
                 self._state = rel_state._replace(
                     pos=rel_state.pos + jnp.int32(self._base))
             with self.timer.stage("drain"):
-                host = jax.tree_util.tree_map(np.asarray, out)
+                host = trig.unpack_output(out)
+            self._pos_host = (pos_rel + host.consumed.sum(axis=0)
+                              + self._base)
             any_progress = bool(np.any(host.consumed))
             for s in range(host.track_event.shape[0]):
                 for r in range(host.track_event.shape[1]):
@@ -316,8 +326,7 @@ class Trigger:
                             self.done = True
                             return published
             # discard samples no longer reachable by any root
-            keep_from = int(np.min(np.asarray(self._state.pos))
-                            - LOOKBACK - self._base)
+            keep_from = int(np.min(self._pos_host) - LOOKBACK - self._base)
             if keep_from > 0:
                 self._buf = self._buf[keep_from:]
                 self._base += keep_from
@@ -340,6 +349,7 @@ class Trigger:
         kw = {k[len("state_"):]: jnp.asarray(data[k])
               for k in data.files if k.startswith("state_")}
         self._state = trig.TriggerState(**kw)
+        self._pos_host = np.asarray(data["state_pos"]).astype(np.int64)
         self._buf = data["buf"]
         self._base = int(data["base"])
         self.psr_threshold = float(data["psr_threshold"])

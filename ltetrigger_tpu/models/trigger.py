@@ -64,8 +64,11 @@ from ..ops import cplx, correlate, pbch, sync
 
 R = 3                                   # N_id_2 hypotheses
 LOOKBACK = PSS_SYMBOL_START             # 832 samples of history before `pos`
-# window: lookback + search span + room to emit an aligned half-frame
-WINDOW = LOOKBACK + 2 * HALF_FRAME_LENGTH + SYMBOL_SZ  # 20160
+# window: lookback + search span + room to emit the aligned first subframe
+# (the only part of the half-frame consumed downstream: CP/SSS/PSS-CFO read
+# slot 0, the MIB candidate is slot 1)
+WINDOW = (LOOKBACK + HALF_FRAME_LENGTH + 2 * SLOT_LENGTH
+          + SYMBOL_SZ)                                 # 12480
 MAX_FRAME_START = HALF_FRAME_LENGTH - 1 - LOOKBACK     # 8767
 K_CANDIDATES = 16                       # MIB candidate slots per root
 
@@ -234,12 +237,15 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
     consumed = jnp.where(emit, frame_start + HALF_FRAME_LENGTH,
                          HALF_FRAME_LENGTH)
 
+    # only the first subframe of the aligned half-frame is ever consumed
+    # (CP detect / SSS / PSS-symbol CFO read slot 0, the MIB candidate is
+    # slot 1) — gathering all 9600 samples would be 5x wasted traffic
     def slice_one(w, fs):
         return jax.lax.dynamic_slice(w, (LOOKBACK + fs,),
-                                     (HALF_FRAME_LENGTH,))
+                                     (2 * SLOT_LENGTH,))
 
     aligned = (jax.vmap(slice_one)(windows[0], frame_start),
-               jax.vmap(slice_one)(windows[1], frame_start))   # pair [R, 9600]
+               jax.vmap(slice_one)(windows[1], frame_start))   # pair [R, 1920]
 
     # --- CFO (tracking only): estimate on the PSS symbol, correct by the
     #     running mean (reference lib/pss_impl.cc:197-204) ---
@@ -252,12 +258,8 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
                          _ring_push(cfo_ring, cfo_count, cfo_est), cfo_ring)
     cfo_count = cfo_count + cfo_push.astype(jnp.int32)
     cfo_mean = _ring_mean(cfo_ring, cfo_count)
-    # only the first subframe is consumed downstream (SSS/CP read slot 0,
-    # the MIB candidate is slot 1) — correcting the remaining 7680 samples
-    # of the half-frame would be wasted NCO work
-    sf = cplx.index(aligned, (slice(None), slice(0, 2 * SLOT_LENGTH)))
-    corrected = cfo_ops.cfo_correct(sf, -cfo_mean / SYMBOL_SZ)
-    sf = cplx.where(tracking[:, None], corrected, sf)
+    corrected = cfo_ops.cfo_correct(aligned, -cfo_mean / SYMBOL_SZ)
+    sf = cplx.where(tracking[:, None], corrected, aligned)
 
     # --- SSS: CP detect + cell identity (tags in the reference) ---
     normal_cp = sync.detect_cp(sf)
@@ -460,6 +462,37 @@ def _mib_postpass(state0: TriggerState, final: TriggerState,
         consumed=raw.consumed,
     )
     return final_state, out
+
+
+_BOOL_FIELDS = ("track_event", "drop_event", "normal_cp", "tracking")
+_F32_FIELDS = ("psr", "cfo_mean")
+
+
+def pack_output(out: StepOutput) -> jnp.ndarray:
+    """StepOutput -> ONE [n_steps, R, 15] float32 array.
+
+    The host drain on the tunneled runtime pays ~25 ms of round-trip
+    latency PER device->host transfer; fetching the 15 output fields
+    separately made streaming drains latency-bound.  Every field fits
+    exactly in f32 (ids <= 503, sfn_offset <= 1020, bools)."""
+    cols = [jnp.asarray(getattr(out, f)).astype(jnp.float32)
+            for f in StepOutput._fields]
+    return jnp.stack(cols, axis=-1)
+
+
+def unpack_output(arr) -> StepOutput:
+    """Inverse of pack_output, on host numpy."""
+    a = np.asarray(arr)
+    kw = {}
+    for i, f in enumerate(StepOutput._fields):
+        col = a[..., i]
+        if f in _BOOL_FIELDS:
+            kw[f] = col > 0.5
+        elif f in _F32_FIELDS:
+            kw[f] = col.astype(np.float32)
+        else:
+            kw[f] = col.astype(np.int32)
+    return StepOutput(**kw)
 
 
 def scan_engine(buffer: cplx.Pair, state: TriggerState, n_steps: int,
