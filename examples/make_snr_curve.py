@@ -19,9 +19,9 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--trials", type=int, default=8)
-    p.add_argument("--snr-min", type=float, default=-26)
+    p.add_argument("--snr-min", type=float, default=-14)
     p.add_argument("--snr-max", type=float, default=-4)
-    p.add_argument("--step", type=float, default=2)
+    p.add_argument("--step", type=float, default=1)
     p.add_argument("--seconds", type=float, default=0.5)
     args = p.parse_args()
 
@@ -91,6 +91,17 @@ def main():
         f"Detection knee (lowest SNR with P >= 0.5, monotone above): "
         f"**{payload['knee_db']['combine']:g} dB** with combining, "
         f"**{payload['knee_db']['single']:g} dB** without.",
+        "",
+        "Interpretation: at the reference's default threshold the knee is",
+        "set by PSS ACQUISITION (the PSR-threshold hysteresis gate), not by",
+        "MIB decoding — whenever PSS tracks, even a single subframe decodes",
+        "here, so TTI soft-combining does not move this end-to-end knee.",
+        "Combining's sensitivity win is at the PBCH stage itself: with",
+        "ideal sync it decodes MIB at -21 dB where every single-subframe",
+        "attempt fails (tests/test_ops.py::TestPbch::",
+        "test_tti_soft_combining_beats_single_subframe) — the regime that",
+        "matters when PSS is aided (known cell, re-acquisition) or the",
+        "PSR threshold is lowered toward its 1.5 floor.",
         "",
         f"(first-D2H stall paid before measurement: {stall:.0f} s; "
         "see BENCHNOTES.md)",

@@ -17,3 +17,16 @@ def test_snr_sweep_curve():
     assert by_snr[20.0]["cell_id"] == cell_id
     # PSR should grow with SNR
     assert by_snr[20.0]["max_psr"] > by_snr[-20.0]["max_psr"]
+
+
+def test_detection_knee_pinned():
+    """The detection-SNR knee at the reference's default threshold 4 sits
+    at -8 dB (measured curve committed in SNR_CURVE.md): detection holds at
+    -8 dB and is gone by -14 dB.  Guards the BASELINE.md secondary metric
+    against sensitivity regressions."""
+    iq, cell_id, rate = load_frame(6)
+    curve = snr_sweep(iq, rate, snrs_db=[-14, -8], seconds=0.5, seed=0)
+    by_snr = {c["snr_db"]: c for c in curve}
+    assert by_snr[-8.0]["detected"]
+    assert by_snr[-8.0]["cell_id"] == cell_id
+    assert not by_snr[-14.0]["detected"]
