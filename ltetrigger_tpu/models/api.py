@@ -255,6 +255,12 @@ class Trigger:
         return np.asarray(self._state.score)
 
     @property
+    def cap_overflow(self):
+        """Cumulative MIB capture attempts deferred because all K candidate
+        slots of a scan chunk were full (each deferral retries next chunk)."""
+        return np.asarray(self._state.cap_overflow)
+
+    @property
     def tracking(self):
         return np.asarray(self._state.tracking)
 

@@ -98,6 +98,16 @@ class TriggerState(NamedTuple):
     cand_fresh: jnp.ndarray   # [R, K] bool — candidate restarts the TTI acc
     cand_cnt: jnp.ndarray     # [R] int32 — slots filled this scan chunk
     pending_fresh: jnp.ndarray  # [R] bool — loss seen since last capture
+    published_live: jnp.ndarray  # [R] bool — in-scan view of `published`:
+    #   equals `published` at chunk start and is cleared by a tracking loss
+    #   INSIDE the scan, so MIB candidate capture resumes immediately after
+    #   a mid-chunk drop (reference behavior: mib re-attempts the very next
+    #   half-frame, lib/mib_impl.cc:109-135).  It can only go false in-scan;
+    #   tracks are only known post-pass, where extra captures after a track
+    #   are masked by the epoch logic in _mib_postpass.
+    cap_overflow: jnp.ndarray  # [R] int32 — capture attempts dropped because
+    #   all K candidate slots were full (observable deferral; see
+    #   "Capture-capacity note" in the module docstring)
 
 
 class RawStepOutput(NamedTuple):
@@ -161,6 +171,8 @@ def init_state(start_pos: int = LOOKBACK,
         cand_fresh=z((R, k), bool),
         cand_cnt=z((R,), jnp.int32),
         pending_fresh=jnp.ones((R,), dtype=bool),
+        published_live=z((R,), bool),
+        cap_overflow=z((R,), jnp.int32),
     )
 
 
@@ -273,8 +285,10 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
     #     Subframe-5 halves (sub5 from the SSS m0/m1 order) are gated out —
     #     the reference feeds them to ue_mib_decode where they just fail CRC
     #     (lib/mib_impl.cc:122-135 only early-outs on missing tags). ---
-    want_cap = (active & tagged & (~state.published) & (~sub5)
-                & (state.cand_cnt < K))
+    published_live = state.published_live & (~lost)
+    want_any = active & tagged & (~published_live) & (~sub5)
+    want_cap = want_any & (state.cand_cnt < K)
+    overflow = want_any & (state.cand_cnt >= K)
     fresh = state.pending_fresh | (cell_id != state.mib_cell)
     onehot = ((jnp.arange(K, dtype=jnp.int32)[None, :]
                == state.cand_cnt[:, None]) & want_cap[:, None])   # [R, K]
@@ -321,6 +335,9 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
         cand_fresh=frz(cand_fresh, state.cand_fresh),
         cand_cnt=frz(cand_cnt, state.cand_cnt),
         pending_fresh=frz(pending_fresh, state.pending_fresh),
+        published_live=frz(published_live, state.published_live),
+        cap_overflow=frz(state.cap_overflow + overflow.astype(jnp.int32),
+                         state.cap_overflow),
     )
     out = RawStepOutput(
         cand_slot=jnp.where(want_cap, state.cand_cnt, -1),
@@ -336,14 +353,11 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
     return next_state, out
 
 
-def _mib_postpass(state0: TriggerState, final: TriggerState,
-                  raw: RawStepOutput, combine: bool = True):
-    """Pass 2: batched MIB decode of the captured candidates + exact event
-    assembly.  Returns (final_state, StepOutput [n_steps, R, ...]).
-
-    combine=False forces every candidate to restart the TTI accumulator —
-    stateless single-subframe decoding, kept for sensitivity A/B
-    measurement (apps/snr_sweep.py --no-combine)."""
+def _decode_candidates(state0: TriggerState, final: TriggerState,
+                       combine: bool):
+    """The heavy half of the post-pass: batched PBCH + Viterbi over the
+    captured candidates.  Returns per-candidate verdicts and the updated
+    TTI accumulator carry."""
     K = final.cand_cell.shape[-1]
 
     # 1. PBCH quarter-LLR contributions of every candidate, both CP
@@ -388,10 +402,49 @@ def _mib_postpass(state0: TriggerState, final: TriggerState,
     llrs12 = accs.reshape(K * R, 12, 120)
     quarter_of = jnp.tile(qs.reshape(K * R, 1, 4), (1, 3, 1)).reshape(-1, 12)
     res = jax.vmap(pbch.search_and_unpack)(llrs12, quarter_of)
-    found = res["found"].reshape(K, R).T & valid               # [R, K]
 
     def rk(a):
         return a.reshape(K, R).T                               # [R, K]
+
+    found = rk(res["found"]) & valid                           # [R, K]
+    return (found, rk(res["nof_prb"]), rk(res["nof_ports"]),
+            rk(res["phich_ext"]), rk(res["phich_res"]),
+            rk(res["sfn_offset"]), acc_f, n_f, cell_f)
+
+
+def _mib_postpass(state0: TriggerState, final: TriggerState,
+                  raw: RawStepOutput, combine: bool = True,
+                  do_decode: jnp.ndarray | None = None):
+    """Pass 2: batched MIB decode of the captured candidates + exact event
+    assembly.  Returns (final_state, StepOutput [n_steps, R, ...]).
+
+    combine=False forces every candidate to restart the TTI accumulator —
+    stateless single-subframe decoding, kept for sensitivity A/B
+    measurement (apps/snr_sweep.py --no-combine).
+
+    do_decode: scalar bool — run the PBCH+Viterbi batch at all.  Defaults
+    to `any candidate captured`; callers that vmap this pass (channel_scan)
+    pass a batch-global scalar so the lax.cond survives vmap as a real
+    branch and the universal no-detection case (noise channels, wideband
+    scans) skips the heavy decode entirely."""
+    K = final.cand_cell.shape[-1]
+    if do_decode is None:
+        do_decode = jnp.sum(final.cand_cnt) > 0
+
+    def heavy(_):
+        return _decode_candidates(state0, final, combine)
+
+    def cheap(_):
+        zi = jnp.zeros((R, K), jnp.int32)
+        return (jnp.zeros((R, K), bool), zi, zi, zi, zi, zi,
+                state0.llr_acc.reshape(R, 3, 4, 120), state0.mib_n,
+                state0.mib_cell)
+
+    (found, prb_rk, ports_rk, pext_rk, pres_rk, sfn_rk,
+     acc_f, n_f, cell_f) = jax.lax.cond(do_decode, heavy, cheap, None)
+
+    ks = jnp.arange(K, dtype=jnp.int32)
+    valid = ks[None, :] < final.cand_cnt[:, None]      # [R, K]
 
     # 4. publish-once-per-epoch: epoch = cumulative fresh count; the first
     #    CRC-valid candidate of an epoch publishes (epoch 0 continues the
@@ -413,11 +466,11 @@ def _mib_postpass(state0: TriggerState, final: TriggerState,
     def fld(a):                                                # [R,K] -> [S,R]
         return jnp.where(track_event, a[ridx, sl], 0)
 
-    nof_prb = fld(rk(res["nof_prb"]))
-    nof_ports = fld(rk(res["nof_ports"]))
-    phich_ext = fld(rk(res["phich_ext"]))
-    phich_res = fld(rk(res["phich_res"]))
-    sfn_offset = fld(rk(res["sfn_offset"]))
+    nof_prb = fld(prb_rk)
+    nof_ports = fld(ports_rk)
+    phich_ext = fld(pext_rk)
+    phich_res = fld(pres_rk)
+    sfn_offset = fld(sfn_rk)
 
     # 6. published/drop state machine over steps, log-depth:
     #    p' = track | (p & ~lost)  — linear boolean recurrence
@@ -439,6 +492,9 @@ def _mib_postpass(state0: TriggerState, final: TriggerState,
     final_state = final._replace(
         published=p_incl[-1],
         pub_cell_id=id_incl[-1],
+        # published_live re-synchronizes to the exact post-pass value so the
+        # next chunk's in-scan gating starts from truth
+        published_live=p_incl[-1],
         llr_acc=acc_f.reshape(R, 12, 120),
         mib_n=n_f,
         mib_cell=cell_f,
@@ -495,21 +551,14 @@ def unpack_output(arr) -> StepOutput:
     return StepOutput(**kw)
 
 
-def scan_engine(buffer: cplx.Pair, state: TriggerState, n_steps: int,
-                psr_threshold,
-                track_after: int = DEFAULT_TRACK_AFTER,
-                track_every: int = DEFAULT_TRACK_EVERY,
-                n_valid: jnp.ndarray | None = None,
-                combine: bool = True):
-    """Device-resident engine: scan `n_steps` half-frame steps over a
-    padded stream buffer, then batch-decode the captured MIB candidates
-    (the whole GNU Radio scheduler collapses to this).
-
-    buffer: pair of [N] float32; must start with >= LOOKBACK zeros and be
-    long enough that any active pos can gather a full WINDOW.
-    n_valid: logical end of data in `buffer` (default: len(buffer)).
-    returns: (final_state, StepOutput stacked [n_steps, R, ...])
-    """
+def scan_pass(buffer: cplx.Pair, state: TriggerState, n_steps: int,
+              psr_threshold,
+              track_after: int = DEFAULT_TRACK_AFTER,
+              track_every: int = DEFAULT_TRACK_EVERY,
+              n_valid: jnp.ndarray | None = None):
+    """Pass 1 only: scan `n_steps` half-frame steps over a padded stream
+    buffer, capturing MIB candidates.  Returns (final_state, RawStepOutput
+    stacked [n_steps, R, ...]); feed to _mib_postpass to finish."""
     if n_valid is None:
         n_valid = buffer[0].shape[0]
     n_valid = jnp.asarray(n_valid, dtype=jnp.int32)
@@ -525,5 +574,24 @@ def scan_engine(buffer: cplx.Pair, state: TriggerState, n_steps: int,
         return trigger_step(st, windows, thresh, track_after, track_every,
                             active=active)
 
-    final, raw = jax.lax.scan(step, state, None, length=n_steps)
+    return jax.lax.scan(step, state, None, length=n_steps)
+
+
+def scan_engine(buffer: cplx.Pair, state: TriggerState, n_steps: int,
+                psr_threshold,
+                track_after: int = DEFAULT_TRACK_AFTER,
+                track_every: int = DEFAULT_TRACK_EVERY,
+                n_valid: jnp.ndarray | None = None,
+                combine: bool = True):
+    """Device-resident engine: scan `n_steps` half-frame steps over a
+    padded stream buffer, then batch-decode the captured MIB candidates
+    (the whole GNU Radio scheduler collapses to this).
+
+    buffer: pair of [N] float32; must start with >= LOOKBACK zeros and be
+    long enough that any active pos can gather a full WINDOW.
+    n_valid: logical end of data in `buffer` (default: len(buffer)).
+    returns: (final_state, StepOutput stacked [n_steps, R, ...])
+    """
+    final, raw = scan_pass(buffer, state, n_steps, psr_threshold,
+                           track_after, track_every, n_valid=n_valid)
     return _mib_postpass(state, final, raw, combine=combine)

@@ -246,10 +246,20 @@ default_power = _IMPLS[_os.environ.get("LTETRIGGER_CORRELATOR", "fast")]
 
 
 def default_power_diag(window: cplx.Pair) -> jnp.ndarray:
-    """Diagonal correlator at the session's default matmul precision."""
-    dtype = (jnp.bfloat16
-             if _os.environ.get("LTETRIGGER_CORRELATOR", "fast") == "fast"
-             else jnp.float32)
+    """Per-root correlator honoring LTETRIGGER_CORRELATOR like
+    `default_power`: "fast" -> bf16 blocked-Toeplitz diag (shipped default),
+    "v2" -> f32 blocked-Toeplitz diag, "v1" -> the conv formulation (each
+    lane correlated against all roots, diagonal taken — 3x the work, kept
+    as the independent cross-check implementation).
+
+    window: pair of [..., 3, >= V2_WINDOW]; returns [..., 3, SEARCH_LEN].
+    """
+    impl = _os.environ.get("LTETRIGGER_CORRELATOR", "fast")
+    if impl == "v1":
+        full = pss_correlate_power(window)       # [..., lane, root, S]
+        r = jnp.arange(N_ROOTS)
+        return full[..., r, r, :]
+    dtype = jnp.bfloat16 if impl == "fast" else jnp.float32
     return pss_correlate_power_diag(window, matmul_dtype=dtype)
 
 

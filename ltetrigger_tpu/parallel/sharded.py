@@ -46,10 +46,21 @@ from ..models import trigger as trig
 def _channel_scan_jit(buffers, states, psr_threshold, n_steps,
                       track_after, track_every, combine):
     def run(buf, st):
-        return trig.scan_engine(buf, st, n_steps, psr_threshold,
-                                track_after, track_every, combine=combine)
+        return trig.scan_pass(buf, st, n_steps, psr_threshold,
+                              track_after, track_every)
 
-    return jax.vmap(run)(buffers, states)
+    finals, raws = jax.vmap(run)(buffers, states)
+    # batch-global decode gate: a SCALAR (computed outside the vmap) so the
+    # lax.cond inside _mib_postpass stays a real branch under vmap — when no
+    # channel captured anything (the universal case for noise channels /
+    # wideband scans) the whole PBCH+Viterbi batch is skipped
+    do_decode = jnp.sum(finals.cand_cnt) > 0
+
+    def fin(st0, fi, raw):
+        return trig._mib_postpass(st0, fi, raw, combine=combine,
+                                  do_decode=do_decode)
+
+    return jax.vmap(fin)(states, finals, raws)
 
 
 def channel_scan(buffers: jnp.ndarray, n_steps: int, psr_threshold,

@@ -148,6 +148,66 @@ def test_search_multi_quarter_tti_stream():
     assert cells[0].nof_prb == 100
 
 
+def test_reacquisition_within_one_chunk():
+    """After a mid-chunk tracking loss drops a published cell, MIB capture
+    must resume IMMEDIATELY (in-scan published_live gating) — the reference
+    re-attempts the very next half-frame (lib/mib_impl.cc:109-135), not at
+    the next scan dispatch."""
+    iq, cell_id, _ = load_frame(6)
+    rng = np.random.default_rng(7)
+    store = CellStore()
+    trigger = api.Trigger(psr_threshold=4, cellstore=store)
+
+    # chunk(s) 1: publish the cell
+    assert trigger.process(np.tile(iq, 4))
+    assert store.tracking()
+
+    # one process call whose FIRST internal chunk (16 steps) contains the
+    # loss AND the reacquisition: 2 half-frames of loud noise, then frames
+    sigma = 3.0 * float(np.sqrt(np.mean(np.abs(iq) ** 2)))
+    noise = sigma * (rng.normal(size=19200) + 1j * rng.normal(size=19200))
+    burst = np.concatenate([noise.astype(np.complex64), np.tile(iq, 4)])
+    cells = trigger.process(burst)
+    assert cells and cells[0].cell_id == cell_id, \
+        "reacquisition must publish within the same scan chunk"
+    assert store.tracking()
+
+
+def test_capture_overflow_defers_not_loses():
+    """Hostile stream: EVERY step wants a MIB capture (repeated subframe-0
+    half-frames), scan chunks longer than K=16.  Overflowed captures must be
+    counted and the detection only deferred to the next chunk, never lost."""
+    from ltetrigger_tpu.ops import cplx
+
+    cell_id = 151
+    rng = np.random.default_rng(3)
+    half = synth.synthesize_frame(cell_id, nof_prb_field=50)[:9600]
+    bad = half.copy()
+    bad[960:1920] = (0.2 * (rng.normal(size=960) + 1j * rng.normal(size=960)))
+    sig = np.concatenate([np.tile(bad, 20), np.tile(half, 12)]) \
+        .astype(np.complex64)
+
+    sp = cplx.from_numpy(sig)
+    zh = jnp.zeros(trig.LOOKBACK, jnp.float32)
+    zt = jnp.zeros(trig.WINDOW, jnp.float32)
+    buffer = (jnp.concatenate([zh, sp[0], zt]),
+              jnp.concatenate([zh, sp[1], zt]))
+
+    state = trig.init_state()
+    state, out1 = trig.scan_engine(buffer, state, 25, 4.0)
+    lane = cell_id % 3
+    assert int(state.cap_overflow[lane]) > 0, \
+        "25-step chunk of all-capture steps must overflow K=16 slots"
+    assert not np.asarray(out1.track_event).any(), \
+        "all chunk-1 captures carry corrupted PBCH"
+
+    state, out2 = trig.scan_engine(buffer, state, 25, 4.0)
+    steps, roots = np.where(np.asarray(out2.track_event))
+    assert len(steps) >= 1, "deferred capture must publish next chunk"
+    assert roots[0] == lane
+    assert int(out2.cell_id[steps[0], roots[0]]) == cell_id
+
+
 def test_checkpoint_resume(tmp_path):
     """Streaming state survives a save/load cycle mid-acquisition."""
     iq, cell_id, _ = load_frame(6)
