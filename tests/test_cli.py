@@ -129,6 +129,7 @@ def test_trigger_stage_timer():
     iq, _, _ = load_frame(6)
     t = api.Trigger(psr_threshold=4)
     t.process(np.tile(iq, 4))
+    t.flush()
     summary = t.timer.summary()
     assert {"prep", "scan", "drain"} <= set(summary)
     for name in ("prep", "scan", "drain"):

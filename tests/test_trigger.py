@@ -54,6 +54,7 @@ def test_tracking_acquisition_and_loss():
     n_frames = 20
     sig = np.tile(iq, n_frames)
     trigger.process(sig)
+    trigger.flush()
 
     lane = cell_id % 3
     assert trigger.tracking[lane], "should be tracking after 20 half-frames"
@@ -72,6 +73,7 @@ def test_tracking_acquisition_and_loss():
     noise = sigma * (rng.normal(size=19200 * 20)
                      + 1j * rng.normal(size=19200 * 20))
     trigger.process(noise.astype(np.complex64))
+    trigger.flush()
     assert not trigger.tracking[lane]
     assert trigger.tracking_score[lane] == 0
     assert not store.tracking(), "drop event must empty the cellstore"
@@ -83,12 +85,13 @@ def test_trigger_streaming_chunks_equivalent():
     sig = np.tile(iq, 6)
 
     t1 = api.Trigger(psr_threshold=4)
-    cells1 = t1.process(sig)
+    cells1 = t1.process(sig) + t1.flush()
 
     t2 = api.Trigger(psr_threshold=4)
     cells2 = []
     for i in range(0, len(sig), 7777):
         cells2.extend(t2.process(sig[i:i + 7777]))
+    cells2.extend(t2.flush())
 
     assert [c.cell_id for c in cells1] == [c.cell_id for c in cells2]
     assert cells1 and cells1[0].cell_id == cell_id
@@ -159,7 +162,7 @@ def test_reacquisition_within_one_chunk():
     trigger = api.Trigger(psr_threshold=4, cellstore=store)
 
     # chunk(s) 1: publish the cell
-    assert trigger.process(np.tile(iq, 4))
+    assert trigger.process(np.tile(iq, 4)) + trigger.flush()
     assert store.tracking()
 
     # one process call whose FIRST internal chunk (16 steps) contains the
@@ -167,7 +170,7 @@ def test_reacquisition_within_one_chunk():
     sigma = 3.0 * float(np.sqrt(np.mean(np.abs(iq) ** 2)))
     noise = sigma * (rng.normal(size=19200) + 1j * rng.normal(size=19200))
     burst = np.concatenate([noise.astype(np.complex64), np.tile(iq, 4)])
-    cells = trigger.process(burst)
+    cells = trigger.process(burst) + trigger.flush()
     assert cells and cells[0].cell_id == cell_id, \
         "reacquisition must publish within the same scan chunk"
     assert store.tracking()
@@ -215,6 +218,7 @@ def test_checkpoint_resume(tmp_path):
 
     t1 = api.Trigger(psr_threshold=4)
     t1.process(np.tile(iq, 4))          # partially acquired (score < 16)
+    t1.flush()
     score_before = int(t1.tracking_score[lane])
     assert 0 < score_before < 16
 
@@ -229,6 +233,8 @@ def test_checkpoint_resume(tmp_path):
     more = np.tile(iq, 8)
     t1.process(more)
     t2.process(more)
+    t1.flush()
+    t2.flush()
     np.testing.assert_array_equal(t1.tracking_score, t2.tracking_score)
     np.testing.assert_array_equal(t1.tracking, t2.tracking)
     np.testing.assert_allclose(t1.mean_psr, t2.mean_psr, rtol=1e-6)
@@ -259,6 +265,7 @@ def test_cfo_recovery_end_to_end():
     store = CellStore()
     t = api.Trigger(psr_threshold=4, cellstore=store)
     t.process(np.tile(rx, 25))
+    t.flush()
     lane = 123 % 3
     assert t.tracking[lane]
     assert abs(t.mean_cfo[lane] - cfo) < 0.05
