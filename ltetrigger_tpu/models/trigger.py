@@ -294,8 +294,21 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
                == state.cand_cnt[:, None]) & want_cap[:, None])   # [R, K]
     slot1 = jnp.stack([sf[0][:, SLOT_LENGTH:], sf[1][:, SLOT_LENGTH:]],
                       axis=-2)                                    # [R, 2, 960]
-    cand_slot1 = jnp.where(onehot[:, :, None, None],
-                           slot1[:, None], state.cand_slot1)
+    # Candidate payload lands via a per-root dynamic_update_slice at slot
+    # cand_cnt, NOT a full-size masked where: the where formulation read and
+    # rewrote the whole [R, K, 2, 960] buffer every step (~94 MB of HBM
+    # traffic per step at 128 channels — the dominant scan cost on TPU);
+    # this writes one 7.7 KB row.  Writing UNCONDITIONALLY at slot cand_cnt
+    # is safe: when no capture happens the slot is beyond the valid range
+    # (valid = k < cand_cnt) and a later capture overwrites it first.  Only
+    # the cnt == K case must preserve the last captured slot.
+    idx = jnp.minimum(state.cand_cnt, K - 1)
+    old_row = jnp.take_along_axis(
+        state.cand_slot1, idx[:, None, None, None], axis=1)[:, 0]
+    content = jnp.where((state.cand_cnt < K)[:, None, None], slot1, old_row)
+    cand_slot1 = jax.vmap(
+        lambda buf, row, i: jax.lax.dynamic_update_slice(
+            buf, row[None], (i, 0, 0)))(state.cand_slot1, content, idx)
     cand_cell = jnp.where(onehot, cell_id[:, None], state.cand_cell)
     cand_cp = jnp.where(onehot, normal_cp[:, None], state.cand_cp)
     cand_fresh = jnp.where(onehot, fresh[:, None], state.cand_fresh)
@@ -329,7 +342,9 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
         llr_acc=state.llr_acc,
         mib_n=state.mib_n,
         mib_cell=frz(mib_cell, state.mib_cell),
-        cand_slot1=frz(cand_slot1, state.cand_slot1),
+        # no frz: the unconditional slot-cand_cnt write is inert for frozen
+        # roots (their cnt is frozen, so the touched slot stays invalid)
+        cand_slot1=cand_slot1,
         cand_cell=frz(cand_cell, state.cand_cell),
         cand_cp=frz(cand_cp, state.cand_cp),
         cand_fresh=frz(cand_fresh, state.cand_fresh),
