@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """Generate the committed detection-SNR curve artifact (SNR_CURVE.md +
-snr_curve.json): detection probability vs SNR at PSR threshold 4, with and
-without MIB soft-combining across the 40 ms PBCH TTI.
+snr_curve.json): detection probability vs SNR, combine vs single-subframe
+MIB decoding, across the operating points where combining could matter
+end-to-end (VERDICT r2 task 6):
 
-BASELINE.md secondary metric: the detection-SNR knee at the reference's
-default threshold.  Run on the TPU (or CPU — the math is identical):
+  * PSR threshold 4 (reference default) and 1.5 (the documented floor,
+    reference python/downlink_trigger_c.py:10 — "unstable" there);
+  * AWGN and the default ETU-class frequency-selective fading profile.
 
-    python examples/make_snr_curve.py [--trials 8] [--step 2]
+    python examples/make_snr_curve.py [--trials 8] [--step 1]
 """
 
 import argparse
@@ -16,11 +18,23 @@ import time
 import numpy as np
 
 
+def knee(curve):
+    """Lowest SNR with prob >= 0.5 such that all higher SNRs also reach
+    0.5 (monotone above)."""
+    best = None
+    for rec in sorted(curve, key=lambda r: -r["snr_db"]):
+        if rec["prob"] >= 0.5:
+            best = rec["snr_db"]
+        else:
+            break
+    return best
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--trials", type=int, default=8)
-    p.add_argument("--snr-min", type=float, default=-14)
-    p.add_argument("--snr-max", type=float, default=-4)
+    p.add_argument("--snr-min", type=float, default=-16)
+    p.add_argument("--snr-max", type=float, default=0)
     p.add_argument("--step", type=float, default=1)
     p.add_argument("--seconds", type=float, default=0.5)
     args = p.parse_args()
@@ -29,83 +43,105 @@ def main():
     import jax.numpy as jnp
 
     from ltetrigger_tpu.apps.snr_sweep import snr_sweep
+    from ltetrigger_tpu.ltecore.synth import default_port_channels
 
     iq = np.fromfile(
         "/root/reference/test_frames/lte_frame_6prb_cellid_123",
         dtype=np.complex64)
     snrs = np.arange(args.snr_min, args.snr_max + 1e-9, args.step)
+    taps = default_port_channels(1)[0]
 
     t0 = time.perf_counter()
     _ = float(jnp.sum(jnp.ones(8)))     # pay the first-D2H stall up front
     stall = time.perf_counter() - t0
 
+    configs = [
+        ("awgn_t4", 4.0, None),
+        ("awgn_t1.5", 1.5, None),
+        ("fading_t4", 4.0, taps),
+        ("fading_t1.5", 1.5, taps),
+    ]
     curves = {}
-    for combine in (True, False):
-        curves["combine" if combine else "single"] = snr_sweep(
-            iq, 1.92e6, snrs, seconds=args.seconds, n_trials=args.trials,
-            combine=combine)
+    for name, thresh, ch in configs:
+        for combine in (True, False):
+            key = f"{name}_{'combine' if combine else 'single'}"
+            curves[key] = snr_sweep(iq, 1.92e6, snrs, seconds=args.seconds,
+                                    psr_threshold=thresh,
+                                    n_trials=args.trials, combine=combine,
+                                    channel_taps=ch)
+            print(key, "knee:", knee(curves[key]), flush=True)
 
-    def knee(curve):
-        """lowest SNR with prob >= 0.5 such that all higher SNRs detect."""
-        best = None
-        for rec in sorted(curve, key=lambda r: -r["snr_db"]):
-            if rec["prob"] >= 0.5:
-                best = rec["snr_db"]
-            else:
-                break
-        return best
-
+    knees = {k: knee(v) for k, v in curves.items()}
     payload = {
         "device": str(jax.devices()[0]),
         "capture": "lte_frame_6prb_cellid_123 (looped, unit signal power)",
-        "psr_threshold": 4.0,
         "seconds_per_trial": args.seconds,
         "n_trials": args.trials,
-        "knee_db": {k: knee(v) for k, v in curves.items()},
+        "fading_taps": [[d, [g.real, g.imag]] for d, g in taps],
+        "knee_db": knees,
         "curves": curves,
     }
     with open("snr_curve.json", "w") as f:
         json.dump(payload, f, indent=2)
 
     lines = [
-        "# Detection probability vs SNR (PSR threshold 4)",
+        "# Detection probability vs SNR — combine vs single, AWGN vs fading",
         "",
         f"Device: {payload['device']}.  {args.trials} independent noise",
         f"realizations per point, {args.seconds} s of looped 6-PRB capture",
         "(cell 123) per trial, one batched device program per curve",
         "(apps/snr_sweep.py).  `combine` = MIB soft-combining across the",
-        "40 ms PBCH TTI (reference parity is srslte_ue_mib_decode's 1-TTI",
-        "buffer; this framework combines across up to 4 TTIs); `single` =",
-        "stateless per-subframe decoding.",
+        "40 ms PBCH TTI; `single` = stateless per-subframe decoding.",
+        "Thresholds: 4 = reference default; 1.5 = the reference's documented",
+        "floor (python/downlink_trigger_c.py:10).  Fading = static 3-tap",
+        "ETU-class frequency-selective profile (ltecore/synth.py,",
+        ">6 dB in-band ripple).",
         "",
-        "| SNR (dB) | P(detect), combine | P(detect), single |",
-        "|---|---|---|",
     ]
-    cs = {r["snr_db"]: r for r in curves["combine"]}
-    ss = {r["snr_db"]: r for r in curves["single"]}
-    for snr in sorted(cs):
-        lines.append(f"| {snr:g} | {cs[snr]['prob']:.2f} "
-                     f"| {ss[snr]['prob']:.2f} |")
-    lines += [
-        "",
-        f"Detection knee (lowest SNR with P >= 0.5, monotone above): "
-        f"**{payload['knee_db']['combine']:g} dB** with combining, "
-        f"**{payload['knee_db']['single']:g} dB** without.",
-        "",
-        "Interpretation: at the reference's default threshold the knee is",
-        "set by PSS ACQUISITION (the PSR-threshold hysteresis gate), not by",
-        "MIB decoding — whenever PSS tracks, even a single subframe decodes",
-        "here, so TTI soft-combining does not move this end-to-end knee.",
-        "Combining's sensitivity win is at the PBCH stage itself: with",
-        "ideal sync it decodes MIB at -21 dB where every single-subframe",
-        "attempt fails (tests/test_ops.py::TestPbch::",
-        "test_tti_soft_combining_beats_single_subframe) — the regime that",
-        "matters when PSS is aided (known cell, re-acquisition) or the",
-        "PSR threshold is lowered toward its 1.5 floor.",
-        "",
-        f"(first-D2H stall paid before measurement: {stall:.0f} s; "
-        "see BENCHNOTES.md)",
-    ]
+    for name, thresh, ch in configs:
+        ck, sk = f"{name}_combine", f"{name}_single"
+        lines += [f"## {name}  (threshold {thresh:g}, "
+                  f"{'fading' if ch else 'AWGN'})", "",
+                  "| SNR (dB) | P(detect), combine | P(detect), single |",
+                  "|---|---|---|"]
+        cs = {r["snr_db"]: r for r in curves[ck]}
+        ss = {r["snr_db"]: r for r in curves[sk]}
+        for snr in sorted(cs):
+            lines.append(f"| {snr:g} | {cs[snr]['prob']:.2f} "
+                         f"| {ss[snr]['prob']:.2f} |")
+        kc, ks = knees[ck], knees[sk]
+        lines += ["", f"Knee: combine **{kc} dB**, single **{ks} dB**.", ""]
+
+    wins = [(n, knees[f"{n}_combine"], knees[f"{n}_single"])
+            for n, _, _ in configs
+            if knees[f"{n}_combine"] is not None
+            and (knees[f"{n}_single"] is None
+                 or knees[f"{n}_combine"] < knees[f"{n}_single"])]
+    lines += ["## Interpretation", ""]
+    if wins:
+        for n, kc, ks in wins:
+            lines.append(
+                f"- **Combining wins end-to-end at `{n}`**: knee "
+                f"{kc:g} dB vs {ks if ks is not None else 'no detection'} "
+                "dB without combining.")
+        lines.append("")
+        lines.append("Where the knees are equal the limit is PSS "
+                     "acquisition (the PSR hysteresis gate), not MIB "
+                     "decoding — whenever PSS tracks, a single subframe "
+                     "decodes.")
+    else:
+        lines += [
+            "NEGATIVE RESULT: across all four operating points the",
+            "combine and single knees are equal — the end-to-end detection",
+            "limit is PSS acquisition (the PSR hysteresis gate), not MIB",
+            "decoding.  Combining's proven win remains at the PBCH stage",
+            "itself (decodes at -21 dB with ideal sync where single-subframe",
+            "fails, tests/test_ops.py::test_tti_soft_combining_beats_single_",
+            "subframe); end-to-end it would matter only with aided",
+            "acquisition (known cell re-acquisition).",
+        ]
+    lines += ["", f"(first-D2H stall paid before measurement: {stall:.0f} s; "
+              "see BENCHNOTES.md)"]
     with open("SNR_CURVE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))

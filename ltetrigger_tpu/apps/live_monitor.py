@@ -45,7 +45,7 @@ def run(stream, psr_threshold: float = 4.0, chunk_samples: int = 19200,
         if not raw:
             break
         samples = np.frombuffer(raw, dtype=np.complex64)
-        trig.process(samples)
+        trig.process(samples)          # events drain async (pipeline mode)
         n += 1
         if n % refresh_every == 0:
             score = trig.tracking_score
@@ -64,6 +64,7 @@ def run(stream, psr_threshold: float = 4.0, chunk_samples: int = 19200,
             }
             print(json.dumps({"event": "status", **status}), file=out,
                   flush=True)
+    trig.flush()                       # surface any still-pending events
 
 
 def main(argv=None) -> int:

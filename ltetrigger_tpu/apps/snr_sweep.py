@@ -30,14 +30,17 @@ import numpy as np
 def snr_sweep(iq: np.ndarray, sample_rate: float, snrs_db,
               seconds: float = 0.5, psr_threshold: float = 4.0,
               seed: int = 0, mesh=None, n_trials: int = 1,
-              combine: bool = True) -> list[dict]:
+              combine: bool = True, channel_taps=None) -> list[dict]:
     """Detection stats per SNR point. SNR = signal power / noise power.
 
     n_trials > 1 runs that many independent noise realizations per SNR
     point (all as channels of one device program) and reports the
     detection probability.  combine=False disables MIB soft-combining
     across the 40 ms PBCH TTI (stateless per-subframe decoding) for
-    sensitivity A/B measurement.
+    sensitivity A/B measurement.  channel_taps (list of (delay_samples,
+    complex_gain)) passes the signal through a static multipath channel
+    before noise — SNR stays defined at the receiver (post-channel signal
+    power is renormalized to 1).
     """
     import jax.numpy as jnp
 
@@ -52,6 +55,9 @@ def snr_sweep(iq: np.ndarray, sample_rate: float, snrs_db,
     total = int(seconds * SAMPLE_RATE)
     reps = -(-total // base.size)
     sig = np.tile(base, reps)[:total]
+    if channel_taps is not None:
+        from ..ltecore.synth import multipath_channel
+        sig = multipath_channel(sig, channel_taps)
     sig = sig / np.sqrt(np.mean(np.abs(sig) ** 2) + 1e-30)
 
     rng = np.random.default_rng(seed)
@@ -115,13 +121,22 @@ def main(argv=None) -> int:
     p.add_argument("--trials", type=int, default=1)
     p.add_argument("--no-combine", action="store_true",
                    help="disable MIB soft-combining across the PBCH TTI")
+    p.add_argument("--fading", action="store_true",
+                   help="pass the signal through the default ETU-class "
+                        "frequency-selective multipath profile before noise")
     args = p.parse_args(argv)
+
+    taps = None
+    if args.fading:
+        from ..ltecore.synth import default_port_channels
+        taps = default_port_channels(1)[0]
 
     iq = np.fromfile(args.filename, dtype=np.complex64)
     snrs = np.arange(args.snr_min, args.snr_max + 1e-9, args.snr_step)
     curve = snr_sweep(iq, args.sample_rate, snrs, seconds=args.seconds,
                       psr_threshold=args.threshold, seed=args.seed,
-                      n_trials=args.trials, combine=not args.no_combine)
+                      n_trials=args.trials, combine=not args.no_combine,
+                      channel_taps=taps)
     print(json.dumps(curve, indent=2))
     return 0
 
