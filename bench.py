@@ -27,6 +27,7 @@ Env knobs: BENCH_CHANNELS (128), BENCH_STEPS (100), BENCH_ITERS (3),
 BENCH_SECONDS (0.55), BENCH_SKIP_STREAMING (unset).
 """
 
+import functools
 import json
 import os
 import sys
@@ -58,16 +59,27 @@ def _pay_first_d2h():
     return time.perf_counter() - t0
 
 
+@functools.partial(jax.jit, static_argnames=("channels", "total"))
+def _tile_on_device(sig, channels, total):
+    """One channel's samples -> padded [C, N] bench buffer, on device (the
+    tunnel uploads ~16 MB/s; uploading C identical copies cost minutes)."""
+    reps = -(-total // sig[0].shape[0])
+
+    def one(comp):
+        s = jnp.tile(comp, reps)[:total]
+        row = jnp.concatenate([jnp.zeros(trig.LOOKBACK, jnp.float32), s,
+                               jnp.zeros(trig.WINDOW, jnp.float32)])
+        return jnp.broadcast_to(row, (channels, row.shape[0]))
+
+    return (one(sig[0]), one(sig[1]))
+
+
 def _make_buffer(channels: int, seconds: float):
     iq = np.fromfile(FRAME_6PRB, dtype=np.complex64)
     total = int(seconds * 1.92e6)
-    sig = np.tile(iq, -(-total // iq.size))[:total]
-    arr = np.stack([sig] * channels)
-    head = np.zeros((channels, trig.LOOKBACK), np.complex64)
-    tail = np.zeros((channels, trig.WINDOW), np.complex64)
-    arr = np.concatenate([head, arr, tail], axis=1)
-    return (jnp.asarray(arr.real.astype(np.float32)),
-            jnp.asarray(arr.imag.astype(np.float32)))
+    sig = (jnp.asarray(iq.real.astype(np.float32)),
+           jnp.asarray(iq.imag.astype(np.float32)))
+    return _tile_on_device(sig, channels, total)
 
 
 def _fenced_channel_scan(channels: int, n_steps: int, seconds: float,
@@ -87,6 +99,52 @@ def _fenced_channel_scan(channels: int, n_steps: int, seconds: float,
     cids = np.asarray(out.cell_id)
     ok = bool(tracked.any()) and bool((cids[tracked] == 123).all())
     return best, ok
+
+
+def _wideband_throughput(n_centers: int = 16, seconds: float = 0.25,
+                         iters: int = 2):
+    """Fenced wideband scan: one 30.72 Msps capture -> n_centers channels
+    (on-device mixing + decimation) -> full trigger over all channels.
+    Returns (wideband input samples/s, detections_ok).  The capture's real
+    cell sits at offset 0; the other centers see filtered noise/adjacent
+    energy and exercise the no-detection fast path."""
+    from ltetrigger_tpu.ops import channelize as chan
+    from ltetrigger_tpu.ops import cplx
+
+    rate = 30.72e6
+    iq = np.fromfile("/root/reference/test_frames/lte_frame_100prb_cellid_369",
+                     dtype=np.complex64)
+    need = int(seconds * rate)
+    wide = np.tile(iq, -(-need // iq.size))[:need]
+    centers = [0.0] + [((i % 2) * 2 - 1) * (1.92e6 * (1 + i // 2))
+                       for i in range(1, n_centers)]
+
+    def run():
+        chans = chan.channelize(wide, rate, centers)
+        c = chans[0].shape[0]
+        total = chans[0].shape[1]
+        zh = jnp.zeros((c, trig.LOOKBACK), jnp.float32)
+        zt = jnp.zeros((c, trig.WINDOW), jnp.float32)
+        buffers = (jnp.concatenate([zh, chans[0], zt], axis=1),
+                   jnp.concatenate([zh, chans[1], zt], axis=1))
+        n_steps = total // HALF_FRAME_LENGTH
+        final, out = channel_scan(buffers, n_steps, 4.0)
+        return out
+
+    out = run()                                   # compile + warm
+    _ = float(jnp.sum(out.consumed))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = run()
+        _ = float(jnp.sum(out.consumed))          # D2H fence
+        best = min(best, time.perf_counter() - t0)
+    track = np.asarray(out.track_event)           # [steps, C, R]
+    cids = np.asarray(out.cell_id)
+    det = track.any(axis=(0, 2))
+    ok = bool(det[0]) and bool(
+        (cids[:, 0, :][track[:, 0, :]] == 369).all())
+    return need / best, ok
 
 
 def _streaming_throughput(seconds: float = 0.5):

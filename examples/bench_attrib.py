@@ -98,7 +98,7 @@ def _ladder_bodies():
         p = correlate.default_power_diag(srch)
         ema = 0.1 * p + 0.9 * ema
         peak, psr = correlate.peak_and_psr(ema)
-        fs = jnp.clip(peak - LOOKBACK, -LOOKBACK, trig.MAX_FRAME_START)
+        fs = jnp.clip(peak - LOOKBACK, -LOOKBACK, 8767)
         sl = jax.vmap(lambda a, f: jax.lax.dynamic_slice(
             a, (LOOKBACK + f,), (2 * SLOT_LENGTH,)))
         aligned = (sl(w[0], fs), sl(w[1], fs))
@@ -117,7 +117,7 @@ def _ladder_bodies():
         p = correlate.default_power_diag(srch)
         ema = 0.1 * p + 0.9 * ema
         peak, psr = correlate.peak_and_psr(ema)
-        fs = jnp.clip(peak - LOOKBACK, -LOOKBACK, trig.MAX_FRAME_START)
+        fs = jnp.clip(peak - LOOKBACK, -LOOKBACK, 8767)
         sl = jax.vmap(lambda a, f: jax.lax.dynamic_slice(
             a, (LOOKBACK + f,), (2 * SLOT_LENGTH,)))
         aligned = (sl(w[0], fs), sl(w[1], fs))

@@ -32,23 +32,31 @@ def main():
         lambda x: jnp.broadcast_to(x, (channels,) + x.shape),
         trig.init_state())
 
+    def alive(tree):
+        """Reduce every leaf so nothing is dead-code-eliminated."""
+        leaves = jax.tree_util.tree_leaves(tree)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
     @jax.jit
     def scan_only(buffers, sts):
-        def run(b, st):
-            return trig.scan_pass(b, st, n_steps, jnp.float32(4.0))
-        finals, raws = jax.vmap(run)(buffers, sts)
-        return finals.pos
+        finals, raws = trig.scan_pass(buffers, sts, n_steps,
+                                      jnp.float32(4.0),
+                                      grid0_static=trig.LOOKBACK)
+        return alive((finals, raws))
 
-    @jax.jit
-    def full(buffers, sts):
-        def run(b, st):
-            f, raw = trig.scan_pass(b, st, n_steps, jnp.float32(4.0))
-            return trig._mib_postpass(st, f, raw,
-                                      do_decode=jnp.asarray(True))
-        finals, outs = jax.vmap(run)(buffers, sts)
-        return finals.pos
+    def full_fn(decode):
+        @jax.jit
+        def full(buffers, sts):
+            f, raw = trig.scan_pass(buffers, sts, n_steps, jnp.float32(4.0),
+                                    grid0_static=trig.LOOKBACK)
+            finals, outs = trig._mib_postpass(
+                sts, f, raw, buffers, do_decode=jnp.asarray(decode))
+            return alive((finals, outs))
+        return full
 
-    for name, fn in [("scan_pass_only", scan_only), ("scan+postpass", full)]:
+    for name, fn in [("scan_pass_only", scan_only),
+                     ("scan+post_nodecode", full_fn(False)),
+                     ("scan+post_decode", full_fn(True))]:
         out = fn(buf, states)
         _ = float(jnp.sum(out))
         best = float("inf")

@@ -76,7 +76,7 @@ def snr_sweep(iq: np.ndarray, sample_rate: float, snrs_db,
     buffers = (jnp.asarray(arr.real.astype(np.float32)),
                jnp.asarray(arr.imag.astype(np.float32)))
 
-    n_steps = total // (trig.HALF_FRAME_LENGTH - trig.LOOKBACK - 1) + 1
+    n_steps = total // trig.HALF_FRAME_LENGTH
     final, out = channel_scan(buffers, n_steps,
                               api.ensure_safe_threshold(psr_threshold),
                               mesh=mesh, combine=combine)

@@ -46,7 +46,7 @@ def wideband_scan(iq: np.ndarray, sample_rate: float, center_offsets_hz,
     buffers = (jnp.concatenate([zh, chans[0][:, :total], zt], axis=1),
                jnp.concatenate([zh, chans[1][:, :total], zt], axis=1))
 
-    n_steps = total // (trig.HALF_FRAME_LENGTH - trig.LOOKBACK - 1) + 1
+    n_steps = total // trig.HALF_FRAME_LENGTH
     _, out = channel_scan(buffers, n_steps,
                           api.ensure_safe_threshold(psr_threshold),
                           mesh=mesh)

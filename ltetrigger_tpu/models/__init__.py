@@ -2,5 +2,4 @@
 
 from .api import Trigger, search  # noqa: F401
 from .trigger import (StepOutput, TriggerState, init_state, scan_engine,  # noqa: F401
-                      scan_pass,
-                      trigger_step)
+                      scan_pass)

@@ -141,8 +141,8 @@ def search(iq: np.ndarray, sample_rate: float,
 
     store = cellstore if cellstore is not None else CellStore()
     state = trig.init_state()
-    # worst case each step consumes HALF_FRAME - LOOKBACK - 1 samples
-    max_steps = total // (HALF_FRAME_LENGTH - LOOKBACK - 1) + 2
+    # the grid engine consumes exactly one half-frame per active step
+    max_steps = total // HALF_FRAME_LENGTH + 2
 
     found: list[Cell] = []
     steps_done = 0

@@ -3,52 +3,78 @@
 This is the framework's flagship "model".  The reference implements it as a
 GNU Radio hier block of 12 threads (3x pss -> sss -> mib + tag_debug,
 python/downlink_trigger_c.py:27-45) with data-dependent stream consumption.
-Here the whole thing is ONE fixed-shape jitted program in TWO passes:
+Here the whole thing is ONE fixed-shape jitted program in THREE passes,
+organized around a single principle: **only the truly sequential recurrences
+run inside the scan; every sample-proportional computation is batched.**
 
-  pass 1 — lax.scan over half-frame steps (the streaming state machine):
-    * the three N_id_2 chains are a leading batch dim of every tensor;
-    * per-block state (tracking score/timer, EMA'd correlation, PSR/CFO
-      telemetry rings) is a TriggerState pytree carried through the scan;
-    * the reference's variable `consume_each` becomes a per-root stream
-      position in the carry, with windows gathered by dynamic_slice;
-    * MIB is NOT decoded inside the scan.  Steps that would attempt a MIB
-      decode (tagged subframe-0 half-frame, nothing published) instead
-      CAPTURE the aligned slot-1 samples into one of K candidate slots in
-      the carry.  Inside a scan every serial step pays full latency for the
-      Viterbi's 120 sequential ACS stages — and under vmap (multi-channel)
-      `lax.cond` lowers to select so the decode would run for every channel
-      every step.  Capturing is a few masked writes.
+  pass A — grid correlation (MXU, batched over steps):
+    * the stream is searched on a FIXED grid: step t's 9600 candidate
+      positions start at grid0 + 9600*t.  The reference instead re-aligns
+      its stream pointer to the detected frame boundary (consume_each
+      (frame_start + 9600), lib/pss_impl.cc:188-195) — but correlation is
+      shift-invariant and the PSS is exactly half-frame-periodic, so the
+      fixed grid sees the peak at a CONSTANT bin and the running average
+      stays coherent; alignment becomes a per-root *offset* (the peak bin)
+      instead of a data-dependent stream position.  This makes every
+      correlation window position static, so the matched filter for ALL
+      steps of a dispatch is a handful of dense blocked-Toeplitz matmuls
+      ([G*75, 256] @ [256, 768] per group of G steps) with no per-step
+      gathers at all.  (Round-2's engine gathered a 12,480-sample window
+      per root per step — per-lane dynamic-slice gathers were ~45% of the
+      scan cost on TPU.)
 
-  pass 2 — one batched post-pass per scan call (`_mib_postpass`):
-    * all K candidates x 3 roots x 12 (port, TTI-phase) hypotheses are
-      decoded in ONE batched PBCH pipeline and ONE batched wrap-around
-      Viterbi — the latency-bound serial trellis runs once per dispatch
-      instead of once per step;
-    * the 40 ms TTI soft-combining accumulator (reference
-      srslte_ue_mib_decode's frame buffer, lib/mib_impl.cc:75-76,162) is a
-      short lax.scan over the K candidate slots, carried across calls in
-      TriggerState.llr_acc;
+  pass B — lax.scan over half-frame steps (the streaming state machine):
+    * consumes precomputed correlation power; carries ONLY the sequential
+      state: EMA'd correlation power, peak/PSR, hysteresis score/timer/
+      tracking, PSR telemetry ring (reference incr_score/reset_score,
+      lib/pss_impl.cc:111-152).  No sample buffers are touched.
+
+  pass C — batched post-pass, once per dispatch (`_mib_postpass`):
+    * slot-0 tail segments for ALL steps are gathered in one batch; CFO
+      estimation, the CFO-ring recurrence (scalars), rotation, CP detect and
+      SSS run batched over the step axis;
+    * MIB candidate selection (the reference mib block's tag gating,
+      lib/mib_impl.cc:122-135) is closed-form boolean algebra over the step
+      axis — capture slot k goes to the k-th step wanting one; overflow
+      beyond K slots is counted (observable deferral);
+    * the candidates' slot-1 samples are gathered lazily (K per root per
+      dispatch, not per step), rotated by their capture-time CFO, and decoded
+      in ONE batched PBCH pipeline + ONE batched wrap-around Viterbi with
+      the 40 ms TTI soft-combining accumulator (reference
+      srslte_ue_mib_decode's frame buffer, lib/mib_impl.cc:75-76,162)
+      carried across dispatches in TriggerState.llr_acc;
     * track/drop events and the published-cell state machine are assembled
-      with log-depth associative scans over the step axis, reproducing the
-      in-scan semantics exactly (publish on first CRC-valid decode of an
-      acquisition epoch, drop on the first tracking loss while published).
+      with log-depth associative scans over the step axis (publish on first
+      CRC-valid decode of an acquisition epoch, drop on the first tracking
+      loss while published);
+    * the whole pass is gated on `any step emitted` and the decode on `any
+      candidate captured` (scalar lax.cond — noise channels and wideband
+      scans skip everything but passes A+B).
 
 Faithful semantics (reference lib/pss_impl.cc:154-223, SURVEY §2.3):
   score hysteresis with track_after saturation, EMA reset on acquisition and
-  loss, track_every correlation skipping with PSR reuse, peak pinning to the
-  slot boundary once aligned, CFO running-mean correction only while
-  tracking, and the tracking_lost cascade that retracts a published cell.
+  loss, track_every correlation skipping with PSR reuse, CFO running-mean
+  correction only while tracking, immediate in-chunk MIB reacquisition after
+  a drop, and the tracking_lost cascade that retracts a published cell.
+  The observable contract (events, fields, telemetry) is unchanged from the
+  re-aligning formulation; only the internal stream coordinates differ (the
+  host drivers see a constant consumption of 9600 samples per active step).
 
 Capture-capacity note: a scan of n_steps can capture at most K candidates
-per root (default 16).  Within one acquisition epoch that caps soft
-combining at K subframes — 4x the reference's own TTI window — and a cell
-whose first CRC success would come after >K attempts inside a single scan
-chunk is deferred to the next chunk's captures.  The host drivers
-(api.search / api.Trigger) scan in chunks of <= 25 steps, well under K x 2.
+per root (default 16) per dispatch.  Overflowing captures are counted in
+TriggerState.cap_overflow and retried next dispatch (deferral, never loss —
+tests/test_trigger.py::test_capture_overflow_defers_not_loses).
+
+All three N_id_2 hypotheses are a trailing [R] axis; multi-channel batches
+are leading axes — every function here is rank-polymorphic, so the
+channel_scan path is this same code with a [C] prefix (no outer vmap, which
+keeps the lax.cond gates real branches instead of selects).
 """
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -63,25 +89,26 @@ from ..ops import cfo as cfo_ops
 from ..ops import cplx, correlate, pbch, sync
 
 R = 3                                   # N_id_2 hypotheses
-LOOKBACK = PSS_SYMBOL_START             # 832 samples of history before `pos`
-# window: lookback + search span + room to emit the aligned first subframe
-# (the only part of the half-frame consumed downstream: CP/SSS/PSS-CFO read
-# slot 0, the MIB candidate is slot 1)
-WINDOW = (LOOKBACK + HALF_FRAME_LENGTH + 2 * SLOT_LENGTH
-          + SYMBOL_SZ)                                 # 12480
-MAX_FRAME_START = HALF_FRAME_LENGTH - 1 - LOOKBACK     # 8767
+LOOKBACK = PSS_SYMBOL_START             # 832 samples of history before grid0
+# WINDOW - LOOKBACK = the correlator's read-ahead past a grid position; the
+# buffer must hold >= LOOKBACK samples (or zeros) before grid0 and WINDOW -
+# LOOKBACK beyond the last active grid position.
+WINDOW = LOOKBACK + correlate.V2_WINDOW                # 10560
 K_CANDIDATES = 16                       # MIB candidate slots per root
+GROUP_BUDGET = 4096                     # max batch*G steps per pass-A matmul
+SEG = 640                               # slot-0 tail gathered per step: holds
+SEG_OFF = SLOT_LENGTH - SEG             #   CP-detect ([352,960)), SSS, PSS sym
 
 
 class TriggerState(NamedTuple):
-    """Per-root carry (leading dim R=3 on every field)."""
-    pos: jnp.ndarray          # [R] int32 — in-pointer into the padded stream
+    """Carry across dispatches (trailing [R] per channel)."""
+    pos: jnp.ndarray          # [R] int32 — next grid position (all equal)
     ema: jnp.ndarray          # [R, 9600] f32 — EMA'd correlation power
     score: jnp.ndarray        # [R] int32
     timer: jnp.ndarray        # [R] int32
     tracking: jnp.ndarray     # [R] bool
     psr: jnp.ndarray          # [R] f32 — last PSR (reused when not searching)
-    peak: jnp.ndarray         # [R] int32 — last peak (PSS-start semantics)
+    peak: jnp.ndarray         # [R] int32 — last peak bin in [0, 9600)
     psr_max: jnp.ndarray      # [R] f32
     psr_ring: jnp.ndarray     # [R, 200] f32
     psr_count: jnp.ndarray    # [R] int32
@@ -91,41 +118,28 @@ class TriggerState(NamedTuple):
     pub_cell_id: jnp.ndarray  # [R] int32
     llr_acc: jnp.ndarray      # [R, 12, 120] f32 — PBCH TTI soft-combine acc
     mib_n: jnp.ndarray        # [R] int32 — subframe-0 attempts combined
-    mib_cell: jnp.ndarray     # [R] int32 — cell id the accumulator belongs to
-    cand_slot1: jnp.ndarray   # [R, K, 2, 960] f32 — captured slot-1 samples
-    cand_cell: jnp.ndarray    # [R, K] int32
-    cand_cp: jnp.ndarray      # [R, K] bool
-    cand_fresh: jnp.ndarray   # [R, K] bool — candidate restarts the TTI acc
-    cand_cnt: jnp.ndarray     # [R] int32 — slots filled this scan chunk
+    mib_cell: jnp.ndarray     # [R] int32 — cell id of the last MIB capture
     pending_fresh: jnp.ndarray  # [R] bool — loss seen since last capture
-    published_live: jnp.ndarray  # [R] bool — in-scan view of `published`:
-    #   equals `published` at chunk start and is cleared by a tracking loss
-    #   INSIDE the scan, so MIB candidate capture resumes immediately after
-    #   a mid-chunk drop (reference behavior: mib re-attempts the very next
-    #   half-frame, lib/mib_impl.cc:109-135).  It can only go false in-scan;
-    #   tracks are only known post-pass, where extra captures after a track
-    #   are masked by the epoch logic in _mib_postpass.
-    cap_overflow: jnp.ndarray  # [R] int32 — capture attempts dropped because
-    #   all K candidate slots were full (observable deferral; see
-    #   "Capture-capacity note" in the module docstring)
+    cap_overflow: jnp.ndarray   # [R] int32 — captures deferred (all K slots
+    #   of a dispatch full; observable deferral, see module docstring)
 
 
 class RawStepOutput(NamedTuple):
-    """Per-step observables of the scan pass (pre-MIB)."""
-    cand_slot: jnp.ndarray    # int32 — candidate slot captured, -1 if none
-    lost_flag: jnp.ndarray    # bool — tracking_lost emitted this step
-    cell_id: jnp.ndarray      # int32
-    normal_cp: jnp.ndarray    # bool
-    psr: jnp.ndarray          # f32
-    score: jnp.ndarray        # int32
-    tracking: jnp.ndarray     # bool
-    cfo_mean: jnp.ndarray     # f32
-    consumed: jnp.ndarray     # int32
+    """Per-step observables of pass B (pre-SSS/MIB)."""
+    grid: jnp.ndarray         # int32 (step-scalar) — this step's grid start
+    active: jnp.ndarray       # bool (step-scalar)
+    peak: jnp.ndarray         # [R] int32
+    psr: jnp.ndarray          # [R] f32
+    score: jnp.ndarray        # [R] int32
+    tracking: jnp.ndarray     # [R] bool
+    emit: jnp.ndarray         # [R] bool — active & (over | lost)
+    lost: jnp.ndarray         # [R] bool — active & tracking-lost this step
+    consumed: jnp.ndarray     # [R] int32
 
 
 class StepOutput(NamedTuple):
     """Per-step, per-root observables (events + telemetry) — the public
-    contract of scan_engine, unchanged by the two-pass restructure."""
+    contract of scan_engine, unchanged since round 1."""
     track_event: jnp.ndarray  # bool — publish this cell (reference: `track` PMT)
     drop_event: jnp.ndarray   # bool — retract published cell (`drop` PMT)
     drop_cell_id: jnp.ndarray # int32 — the previously *published* cell id
@@ -143,10 +157,8 @@ class StepOutput(NamedTuple):
     consumed: jnp.ndarray     # int32
 
 
-def init_state(start_pos: int = LOOKBACK,
-               k_candidates: int = K_CANDIDATES) -> TriggerState:
+def init_state(start_pos: int = LOOKBACK) -> TriggerState:
     z = jnp.zeros
-    k = k_candidates
     return TriggerState(
         pos=jnp.full((R,), start_pos, dtype=jnp.int32),
         ema=z((R, HALF_FRAME_LENGTH), jnp.float32),
@@ -165,13 +177,7 @@ def init_state(start_pos: int = LOOKBACK,
         llr_acc=z((R, 12, 120), jnp.float32),
         mib_n=z((R,), jnp.int32),
         mib_cell=jnp.full((R,), -1, dtype=jnp.int32),
-        cand_slot1=z((R, k, 2, SLOT_LENGTH), jnp.float32),
-        cand_cell=jnp.full((R, k), -1, dtype=jnp.int32),
-        cand_cp=z((R, k), bool),
-        cand_fresh=z((R, k), bool),
-        cand_cnt=z((R,), jnp.int32),
         pending_fresh=jnp.ones((R,), dtype=bool),
-        published_live=z((R,), bool),
         cap_overflow=z((R,), jnp.int32),
     )
 
@@ -187,42 +193,88 @@ def _ring_push(ring, count, value):
     return ring * (1 - onehot) + onehot * value[..., None]
 
 
-def trigger_step(state: TriggerState, windows: cplx.Pair,
-                 psr_threshold: jnp.ndarray,
-                 track_after: int = DEFAULT_TRACK_AFTER,
-                 track_every: int = DEFAULT_TRACK_EVERY,
-                 active: jnp.ndarray | None = None):
-    """One half-frame step for all three roots (scan pass: no MIB decode).
+# ======================================================================
+# pass A — grid correlation
+# ======================================================================
+def _pass_a_dtype():
+    impl = os.environ.get("LTETRIGGER_CORRELATOR", "fast")
+    # "fast" (shipped default) = bf16 matmul inputs, f32 accumulation —
+    # bit-identical peaks on hardware (TPU_VERIFY.md); anything else = f32.
+    # The conv formulation ("v1") remains available as the independent
+    # cross-check via correlate.pss_correlate_power (golden tests), but the
+    # grid engine always uses the blocked-Toeplitz formulation.
+    return jnp.bfloat16 if impl == "fast" else jnp.float32
 
-    windows: pair of [R, WINDOW] float32 — per-root window; sample LOOKBACK
-             of window r is the sample at state.pos[r].
-    active:  [R] bool — roots with exhausted input are frozen (no-ops).
-    returns: (next_state, RawStepOutput)
+
+def _group_power(buffer: cplx.Pair, lo, g: int) -> jnp.ndarray:
+    """Correlation power for g consecutive grid steps starting at `lo`.
+
+    buffer: pair of [..., N]; lo: traced scalar start (grid of step 0).
+    returns [g, ..., 3, 9600] float32 — power[t, ..., r, i] is the matched-
+    filter power of root r at stream position lo + 9600*t + i.
+
+    One blocked-Toeplitz matmul for the whole group (see ops/correlate.py
+    for the WL/WU construction): the g*9600 candidate positions tile into
+    g*75 blocks of 128, each correlated by [256]->[768] dense weights.
+    Replaces the reference's per-half-frame FFTW convolution
+    (srslte_pss_find_pss, lib/pss_impl.cc:165) with the MXU's native shape.
     """
-    if active is None:
-        active = jnp.ones((R,), dtype=bool)
-    K = state.cand_cell.shape[-1]
+    span = g * HALF_FRAME_LENGTH
+    batch = buffer[0].shape[:-1]
+    nb = span // SYMBOL_SZ
 
+    def blocks(offset):
+        br = jax.lax.dynamic_slice_in_dim(buffer[0], lo + offset, span, -1)
+        bi = jax.lax.dynamic_slice_in_dim(buffer[1], lo + offset, span, -1)
+        return jnp.concatenate([br.reshape(batch + (nb, SYMBOL_SZ)),
+                                bi.reshape(batch + (nb, SYMBOL_SZ))], -1)
+
+    x0 = blocks(0)                       # [..., g*75, 256]
+    x1 = blocks(SYMBOL_SZ)
+    WL, WU = correlate._toeplitz_weights()
+    dt = _pass_a_dtype()
+    c = jnp.dot(x0.astype(dt), jnp.asarray(WL).astype(dt),
+                preferred_element_type=jnp.float32) \
+        + jnp.dot(x1.astype(dt), jnp.asarray(WU).astype(dt),
+                  preferred_element_type=jnp.float32)   # [..., g*75, 768]
+    c = c.reshape(batch + (g, 75, R, 2, SYMBOL_SZ))
+    p = c[..., 0, :] ** 2 + c[..., 1, :] ** 2           # [..., g, 75, R, 128]
+    p = jnp.moveaxis(p, -3, -2)                         # [..., g, R, 75, 128]
+    p = p.reshape(batch + (g, R, HALF_FRAME_LENGTH))
+    return jnp.moveaxis(p, len(batch), 0)               # [g, ..., R, 9600]
+
+
+def _pick_group(n_steps: int, batch: int) -> int:
+    limit = max(1, min(GROUP_BUDGET // max(batch, 1), 32, n_steps))
+    for g in range(limit, 0, -1):
+        if n_steps % g == 0:
+            return g
+    return 1
+
+
+# ======================================================================
+# pass B — the sequential state machine
+# ======================================================================
+def _step_core(state: TriggerState, power, grid, active, psr_threshold,
+               track_after: int, track_every: int):
+    """One half-frame step (rank-polymorphic: trailing [R] / [R, 9600]).
+
+    power: [..., R, 9600] f32 — pass-A power for this step's grid window.
+    grid, active: traced step-scalars (the static grid schedule).
+    """
     search = (~state.tracking) | (state.timer == 0)
     timer = jnp.where(search, track_every, state.timer - 1)
 
-    # --- PSS correlation: root r's window lane against root r only (the
-    #     diagonal correlator — lane r never consults other roots) ---
-    srch = cplx.index(windows,
-                      (slice(None), slice(LOOKBACK,
-                                          LOOKBACK + correlate.V2_WINDOW)))
-    power = correlate.default_power_diag(srch)                 # [R, 9600]
-    ema = jnp.where(search[:, None],
+    ema = jnp.where(search[..., None],
                     PSR_EMA_ALPHA * power + (1 - PSR_EMA_ALPHA) * state.ema,
                     state.ema)
     peak_new, psr_new = correlate.peak_and_psr(ema)
     psr = jnp.where(search, psr_new, state.psr)
     peak = jnp.where(search, peak_new, state.peak)
 
-    psr_ring = jnp.where(
-        search[:, None],
-        _ring_push(state.psr_ring, state.psr_count, psr),
-        state.psr_ring)
+    psr_ring = jnp.where(search[..., None],
+                         _ring_push(state.psr_ring, state.psr_count, psr),
+                         state.psr_ring)
     psr_count = state.psr_count + search.astype(jnp.int32)
 
     # --- hysteresis scoring (reference incr_score / reset_score) ---
@@ -234,98 +286,19 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
     score = jnp.where(over, score_inc, 0)
     tracking = jnp.where(over, state.tracking | crossing,
                          jnp.zeros_like(state.tracking))
-    ema = jnp.where((crossing | lost)[:, None], jnp.zeros_like(ema), ema)
+    ema = jnp.where((crossing | lost)[..., None], jnp.zeros_like(ema), ema)
     timer = jnp.where(lost, 0, timer)
-    psr_ring = jnp.where(lost[:, None], 0.0, psr_ring)
+    psr_ring = jnp.where(lost[..., None], 0.0, psr_ring)
     psr_count = jnp.where(lost, 0, psr_count)
-    cfo_ring = jnp.where(lost[:, None], 0.0, state.cfo_ring)
-    cfo_count = jnp.where(lost, 0, state.cfo_count)
     psr_max = jnp.maximum(state.psr_max, psr)
-
-    # --- alignment & output branch ---
     emit = over | lost
-    frame_start = jnp.clip(peak - LOOKBACK, -LOOKBACK, MAX_FRAME_START)
-    peak = jnp.where(emit, LOOKBACK, peak)      # pin once aligned
-    consumed = jnp.where(emit, frame_start + HALF_FRAME_LENGTH,
-                         HALF_FRAME_LENGTH)
 
-    # only the first subframe of the aligned half-frame is ever consumed
-    # (CP detect / SSS / PSS-symbol CFO read slot 0, the MIB candidate is
-    # slot 1) — gathering all 9600 samples would be 5x wasted traffic
-    def slice_one(w, fs):
-        return jax.lax.dynamic_slice(w, (LOOKBACK + fs,),
-                                     (2 * SLOT_LENGTH,))
-
-    aligned = (jax.vmap(slice_one)(windows[0], frame_start),
-               jax.vmap(slice_one)(windows[1], frame_start))   # pair [R, 1920]
-
-    # --- CFO (tracking only): estimate on the PSS symbol, correct by the
-    #     running mean (reference lib/pss_impl.cc:197-204) ---
-    reps = tuple(jnp.asarray(a) for a in cfo_ops.replica_pairs())  # [3, 128]
-    pss_sym = cplx.index(aligned,
-                         (slice(None), slice(PSS_SYMBOL_START, SLOT_LENGTH)))
-    cfo_est = cfo_ops.cfo_estimate(pss_sym, reps)
-    cfo_push = emit & tracking
-    cfo_ring = jnp.where(cfo_push[:, None],
-                         _ring_push(cfo_ring, cfo_count, cfo_est), cfo_ring)
-    cfo_count = cfo_count + cfo_push.astype(jnp.int32)
-    cfo_mean = _ring_mean(cfo_ring, cfo_count)
-    corrected = cfo_ops.cfo_correct(aligned, -cfo_mean / SYMBOL_SZ)
-    sf = cplx.where(tracking[:, None], corrected, aligned)
-
-    # --- SSS: CP detect + cell identity (tags in the reference) ---
-    normal_cp = sync.detect_cp(sf)
-    nid2 = jnp.arange(R, dtype=jnp.int32)
-    n_id_1, sub5 = sync.sss_decode(sf, nid2, normal_cp)
-    sss_valid = n_id_1 >= 0
-    cell_id = 3 * jnp.maximum(n_id_1, 0) + nid2
-    tagged = emit & (~lost) & sss_valid
-
-    # --- MIB candidate capture (decode happens in _mib_postpass).
-    #     Subframe-5 halves (sub5 from the SSS m0/m1 order) are gated out —
-    #     the reference feeds them to ue_mib_decode where they just fail CRC
-    #     (lib/mib_impl.cc:122-135 only early-outs on missing tags). ---
-    published_live = state.published_live & (~lost)
-    want_any = active & tagged & (~published_live) & (~sub5)
-    want_cap = want_any & (state.cand_cnt < K)
-    overflow = want_any & (state.cand_cnt >= K)
-    fresh = state.pending_fresh | (cell_id != state.mib_cell)
-    onehot = ((jnp.arange(K, dtype=jnp.int32)[None, :]
-               == state.cand_cnt[:, None]) & want_cap[:, None])   # [R, K]
-    slot1 = jnp.stack([sf[0][:, SLOT_LENGTH:], sf[1][:, SLOT_LENGTH:]],
-                      axis=-2)                                    # [R, 2, 960]
-    # Candidate payload lands via a per-root dynamic_update_slice at slot
-    # cand_cnt, NOT a full-size masked where: the where formulation read and
-    # rewrote the whole [R, K, 2, 960] buffer every step (~94 MB of HBM
-    # traffic per step at 128 channels — the dominant scan cost on TPU);
-    # this writes one 7.7 KB row.  Writing UNCONDITIONALLY at slot cand_cnt
-    # is safe: when no capture happens the slot is beyond the valid range
-    # (valid = k < cand_cnt) and a later capture overwrites it first.  Only
-    # the cnt == K case must preserve the last captured slot.
-    idx = jnp.minimum(state.cand_cnt, K - 1)
-    old_row = jnp.take_along_axis(
-        state.cand_slot1, idx[:, None, None, None], axis=1)[:, 0]
-    content = jnp.where((state.cand_cnt < K)[:, None, None], slot1, old_row)
-    cand_slot1 = jax.vmap(
-        lambda buf, row, i: jax.lax.dynamic_update_slice(
-            buf, row[None], (i, 0, 0)))(state.cand_slot1, content, idx)
-    cand_cell = jnp.where(onehot, cell_id[:, None], state.cand_cell)
-    cand_cp = jnp.where(onehot, normal_cp[:, None], state.cand_cp)
-    cand_fresh = jnp.where(onehot, fresh[:, None], state.cand_fresh)
-    cand_cnt = state.cand_cnt + want_cap.astype(jnp.int32)
-    mib_cell = jnp.where(want_cap, cell_id, state.mib_cell)
-    pending_fresh = (jnp.where(want_cap, False, state.pending_fresh)
-                     | (active & lost))
-
-    # --- freeze inactive roots ---
     def frz(new, old):
-        mask = active
-        while mask.ndim < new.ndim:
-            mask = mask[..., None]
-        return jnp.where(mask, new, old)
+        return jnp.where(active, new, old)
 
-    next_state = TriggerState(
-        pos=frz(state.pos + consumed, state.pos),
+    nxt = state._replace(
+        pos=frz(jnp.broadcast_to(grid + HALF_FRAME_LENGTH, state.pos.shape)
+                .astype(jnp.int32), state.pos),
         ema=frz(ema, state.ema),
         score=frz(score, state.score),
         timer=frz(timer, state.timer),
@@ -335,201 +308,400 @@ def trigger_step(state: TriggerState, windows: cplx.Pair,
         psr_max=frz(psr_max, state.psr_max),
         psr_ring=frz(psr_ring, state.psr_ring),
         psr_count=frz(psr_count, state.psr_count),
-        cfo_ring=frz(cfo_ring, state.cfo_ring),
-        cfo_count=frz(cfo_count, state.cfo_count),
-        published=state.published,
-        pub_cell_id=state.pub_cell_id,
-        llr_acc=state.llr_acc,
-        mib_n=state.mib_n,
-        mib_cell=frz(mib_cell, state.mib_cell),
-        # no frz: the unconditional slot-cand_cnt write is inert for frozen
-        # roots (their cnt is frozen, so the touched slot stays invalid)
-        cand_slot1=cand_slot1,
-        cand_cell=frz(cand_cell, state.cand_cell),
-        cand_cp=frz(cand_cp, state.cand_cp),
-        cand_fresh=frz(cand_fresh, state.cand_fresh),
-        cand_cnt=frz(cand_cnt, state.cand_cnt),
-        pending_fresh=frz(pending_fresh, state.pending_fresh),
-        published_live=frz(published_live, state.published_live),
-        cap_overflow=frz(state.cap_overflow + overflow.astype(jnp.int32),
-                         state.cap_overflow),
     )
+    shape = state.score.shape
     out = RawStepOutput(
-        cand_slot=jnp.where(want_cap, state.cand_cnt, -1),
-        lost_flag=active & emit & lost,
-        cell_id=cell_id,
-        normal_cp=normal_cp,
-        psr=psr,
-        score=frz(score, state.score),
-        tracking=frz(tracking, state.tracking),
-        cfo_mean=cfo_mean,
-        consumed=jnp.where(active, consumed, 0),
+        grid=jnp.asarray(grid, jnp.int32),
+        active=jnp.asarray(active, bool),
+        peak=nxt.peak,
+        psr=nxt.psr,
+        score=nxt.score,
+        tracking=nxt.tracking,
+        emit=jnp.broadcast_to(active, shape) & emit,
+        lost=jnp.broadcast_to(active, shape) & emit & lost,
+        consumed=jnp.where(active, HALF_FRAME_LENGTH, 0)
+        * jnp.ones(shape, jnp.int32),
     )
-    return next_state, out
+    return nxt, out
 
 
-def _decode_candidates(state0: TriggerState, final: TriggerState,
-                       combine: bool):
-    """The heavy half of the post-pass: batched PBCH + Viterbi over the
-    captured candidates.  Returns per-candidate verdicts and the updated
-    TTI accumulator carry."""
-    K = final.cand_cell.shape[-1]
+def scan_pass(buffer: cplx.Pair, state: TriggerState, n_steps: int,
+              psr_threshold,
+              track_after: int = DEFAULT_TRACK_AFTER,
+              track_every: int = DEFAULT_TRACK_EVERY,
+              n_valid=None, grid0_static: int | None = None):
+    """Passes A+B: correlate and scan `n_steps` half-frame steps.
 
-    # 1. PBCH quarter-LLR contributions of every candidate, both CP
-    #    hypotheses batched (the CP is a traced per-candidate value)
-    flat = (final.cand_slot1[:, :, 0].reshape(R * K, SLOT_LENGTH),
-            final.cand_slot1[:, :, 1].reshape(R * K, SLOT_LENGTH))
-    both = jax.vmap(pbch.quarter_llrs_both_cp)(
-        flat, final.cand_cell.reshape(R * K))        # [RK, 2, 3, 4, 120]
-    both = both.reshape(R, K, 2, 3, 4, 120)
-    contrib = jnp.where(final.cand_cp[:, :, None, None, None],
-                        both[:, :, 1], both[:, :, 0])  # [R, K, 3, 4, 120]
+    buffer: pair of [..., N] float32 — >= LOOKBACK zeros/history before
+        grid0 and WINDOW - LOOKBACK samples beyond the last active grid.
+    state: TriggerState with leading batch dims matching `buffer`'s.
+        All pos entries must be equal (the grid is shared — guaranteed by
+        init_state and preserved by every step).
+    n_valid: traced scalar — logical end of data (default: N).
+    grid0_static: the caller's promise that pos == this static int; enables
+        static pass-A slicing with a trace-time bounds check.  When None the
+        buffer is zero-padded on device to cover the worst-case grid span.
+    returns: (final_state, RawStepOutput stacked [n_steps, ...]).
+    """
+    n = buffer[0].shape[-1]
+    if n_valid is None:
+        n_valid = n
+    n_valid = jnp.asarray(n_valid, dtype=jnp.int32)
+    thresh = jnp.asarray(psr_threshold, dtype=jnp.float32)
+    batch = int(np.prod(buffer[0].shape[:-1], dtype=np.int64)) or 1
+    g = _pick_group(n_steps, batch)
+    n_groups = n_steps // g
+    span_need = n_steps * HALF_FRAME_LENGTH + SYMBOL_SZ
 
-    ks = jnp.arange(K, dtype=jnp.int32)
-    valid = ks[None, :] < final.cand_cnt[:, None]      # [R, K]
+    if grid0_static is not None:
+        assert n >= grid0_static + span_need, (
+            f"buffer length {n} < grid0 {grid0_static} + span {span_need}")
+        grid0 = jnp.int32(grid0_static)
+    else:
+        grid0 = jnp.reshape(state.pos, (-1,))[0]
+        pad = jnp.zeros(buffer[0].shape[:-1] + (span_need,), jnp.float32)
+        buffer = (jnp.concatenate([buffer[0], pad], axis=-1),
+                  jnp.concatenate([buffer[1], pad], axis=-1))
 
-    # 2. TTI soft-combining chain over the K slots (cheap sequential pass;
-    #    semantics of pbch.mib_combine_decode: 4 TTI-phase hypotheses, phase
-    #    h restarts its accumulator at quarter 0)
+    def group_body(st, gi):
+        lo = grid0 + gi * (g * HALF_FRAME_LENGTH)
+        power = _group_power(buffer, lo, g)          # [g, ..., R, 9600]
+
+        def stepf(st2, xs):
+            p_t, ti = xs
+            grid = lo + ti * HALF_FRAME_LENGTH
+            active = grid + correlate.V2_WINDOW <= n_valid
+            return _step_core(st2, p_t, grid, active, thresh,
+                              track_after, track_every)
+
+        return jax.lax.scan(stepf, st,
+                            (power, jnp.arange(g, dtype=jnp.int32)))
+
+    final, raws = jax.lax.scan(group_body, state,
+                               jnp.arange(n_groups, dtype=jnp.int32))
+    raws = jax.tree_util.tree_map(
+        lambda a: a.reshape((n_steps,) + a.shape[2:]), raws)
+    return final, raws
+
+
+# ======================================================================
+# pass C — batched SSS / capture / MIB decode / event assembly
+# ======================================================================
+def _gather_rows(comp, starts, length: int):
+    """Batched contiguous gathers.  comp: [*B, N]; starts: [*B, ...] int32
+    (clamped by dynamic_slice); returns [*B, ..., length]."""
+    nb = comp.ndim - 1
+
+    def one(buf, st):
+        flat = st.reshape(-1)
+        rows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(buf, (s,), (length,)))(flat)
+        return rows.reshape(st.shape + (length,))
+
+    fn = one
+    for _ in range(nb):
+        fn = jax.vmap(fn)
+    return fn(comp, starts)
+
+
+def _gather_steps(buffer: cplx.Pair, starts, length: int) -> cplx.Pair:
+    """Per-step gathers: buffer pair [*B, N], starts [S, *B, R] ->
+    pair [S, *B, R, length]."""
+    nb = buffer[0].ndim - 1
+    perm_in = tuple(range(1, 1 + nb)) + (0, 1 + nb)
+    perm_out = (nb,) + tuple(range(nb)) + (nb + 1, nb + 2)
+
+    def one_comp(comp):
+        st = jnp.transpose(starts, perm_in) if nb else starts
+        rows = _gather_rows(comp, st, length)        # [*B, S, R, length]
+        return jnp.transpose(rows, perm_out) if nb else rows
+
+    return (one_comp(buffer[0]), one_comp(buffer[1]))
+
+
+def _gather_cands(buffer: cplx.Pair, starts, length: int) -> cplx.Pair:
+    """Candidate gathers: starts [*B, R, K] (batch dims already leading)."""
+    return (_gather_rows(buffer[0], starts, length),
+            _gather_rows(buffer[1], starts, length))
+
+
+def _capture_chain(state0: TriggerState, raw: RawStepOutput, sss_valid,
+                   sub5, cell_id, k: int):
+    """Per-step capture selection (reference mib tag gating + the in-scan
+    published_live reacquisition semantics, lib/mib_impl.cc:109-135).
+
+    All inputs [S, ..., R]; returns per-step (want_cap, slot, fresh) plus
+    final (cnt, mib_cell, pending_fresh, p_live, overflow)."""
+    tagged = raw.emit & (~raw.lost) & sss_valid
+
+    # published_live: starts at `published`, cleared by any in-chunk loss
+    not_lost_cum = jnp.cumprod(1 - raw.lost.astype(jnp.int32), axis=0)
+    p_live_after = state0.published[None] & (not_lost_cum > 0)   # [S, .., R]
+    p_live_before = jnp.concatenate(
+        [jnp.broadcast_to(state0.published[None], p_live_after[:1].shape),
+         p_live_after[:-1]], axis=0)
+    # the step's own loss clears the gate before capture gating (parity with
+    # the reference: mib re-attempts the very next half-frame after a drop)
+    p_gate = p_live_before & (~raw.lost)
+
+    want_any = tagged & (~p_gate) & (~sub5)
+    cum_excl = jnp.cumsum(want_any.astype(jnp.int32), axis=0) \
+        - want_any.astype(jnp.int32)
+    want_cap = want_any & (cum_excl < k)
+    slot = jnp.where(want_cap, cum_excl, -1)
+    overflow = jnp.sum((want_any & (~want_cap)).astype(jnp.int32), axis=0)
+    cnt = jnp.sum(want_cap.astype(jnp.int32), axis=0)
+
+    # (pending_fresh, mib_cell) chain: capture sets cell & clears pf; loss
+    # sets pf.  Sequential over S but on [.., R] scalars only.
     def chain(carry, xs):
-        acc, n, cell = carry                  # [R,3,4,120], [R], [R]
+        pf, cell = carry
+        cap_t, lost_t, cid_t = xs
+        fresh_t = pf | (cid_t != cell)
+        cell2 = jnp.where(cap_t, cid_t, cell)
+        pf2 = jnp.where(cap_t, False, pf) | lost_t
+        return (pf2, cell2), fresh_t
+
+    (pf_f, cell_f), fresh = jax.lax.scan(
+        chain, (state0.pending_fresh, state0.mib_cell),
+        (want_cap, raw.lost, cell_id))
+    return (want_cap, slot, fresh, cnt, cell_f, pf_f,
+            p_live_after[-1], overflow)
+
+
+def _decode_candidates(state0: TriggerState, buffer: cplx.Pair,
+                      cand_start, cand_freq, cand_cell, cand_cp, cand_fresh,
+                      valid, combine: bool):
+    """Batched PBCH + Viterbi over the captured candidates.
+
+    cand_* : [..., R, K]; returns per-candidate verdicts [..., R, K] and the
+    updated TTI accumulator carry."""
+    k = cand_cell.shape[-1]
+    batch = cand_cell.shape[:-2]
+
+    # lazy slot-1 gather + capture-time CFO rotation (phase continues from
+    # the aligned frame start: slot-1 sample n had aligned index 960 + n)
+    slot1 = _gather_cands(buffer, cand_start, SLOT_LENGTH)  # [.., R, K, 960]
+    slot1 = cfo_ops.cfo_rotate(slot1, cand_freq, SLOT_LENGTH)
+
+    flat = (slot1[0].reshape((-1, SLOT_LENGTH)),
+            slot1[1].reshape((-1, SLOT_LENGTH)))
+    both = jax.vmap(pbch.quarter_llrs_both_cp)(
+        flat, cand_cell.reshape(-1))          # [BRK, 2, 3, 4, 120]
+    both = both.reshape(batch + (R, k, 2, 3, 4, 120))
+    contrib = jnp.where(cand_cp[..., None, None, None],
+                        both[..., 1, :, :, :], both[..., 0, :, :, :])
+
+    # TTI soft-combining chain over the K slots (reference
+    # srslte_ue_mib_decode's 40 ms frame buffer): 4 TTI-phase hypotheses,
+    # phase h restarts its accumulator at quarter 0
+    def chain(carry, xs):
+        acc, n, cell = carry                  # [.., R, 3, 4, 120] etc
         c_k, fresh_k, cell_k, valid_k = xs
         if not combine:
             fresh_k = jnp.ones_like(fresh_k)
         restart = fresh_k | (cell_k != cell)
         n_k = jnp.where(restart, 0, n)
-        q = jnp.mod(n_k[:, None] + jnp.arange(4, dtype=jnp.int32), 4)  # [R,4]
-        sel = jnp.take_along_axis(c_k, q[:, None, :, None], axis=2)
-        acc_new = jnp.where((q == 0)[:, None, :, None], sel, acc + sel)
-        acc_out = jnp.where(valid_k[:, None, None, None], acc_new, acc)
+        q = jnp.mod(n_k[..., None] + jnp.arange(4, dtype=jnp.int32), 4)
+        sel = jnp.take_along_axis(c_k, q[..., None, :, None], axis=-2)
+        acc_new = jnp.where((q == 0)[..., None, :, None], sel, acc + sel)
+        acc_out = jnp.where(valid_k[..., None, None, None], acc_new, acc)
         n_out = jnp.where(valid_k, n_k + 1, n)
         cell_out = jnp.where(valid_k, cell_k, cell)
         return (acc_out, n_out, cell_out), (acc_out, q)
 
-    xs = (jnp.moveaxis(contrib, 1, 0), jnp.moveaxis(final.cand_fresh, 1, 0),
-          jnp.moveaxis(final.cand_cell, 1, 0), jnp.moveaxis(valid, 1, 0))
-    acc0 = state0.llr_acc.reshape(R, 3, 4, 120)
+    xs = tuple(jnp.moveaxis(a, -1, 0) if a.ndim == cand_cell.ndim else
+               jnp.moveaxis(a, len(batch) + 1, 0)
+               for a in (contrib, cand_fresh, cand_cell, valid))
+    acc0 = state0.llr_acc.reshape(batch + (R, 3, 4, 120))
     (acc_f, n_f, cell_f), (accs, qs) = jax.lax.scan(
         chain, (acc0, state0.mib_n, state0.mib_cell), xs)
-    # accs: [K, R, 3, 4, 120]; qs: [K, R, 4]
+    # accs: [K, .., R, 3, 4, 120]; qs: [K, .., R, 4]
 
-    # 3. ONE batched codeword search over all K x R x 12 hypotheses
-    llrs12 = accs.reshape(K * R, 12, 120)
-    quarter_of = jnp.tile(qs.reshape(K * R, 1, 4), (1, 3, 1)).reshape(-1, 12)
+    llrs12 = accs.reshape((-1, 12, 120))
+    quarter_of = jnp.tile(qs.reshape((-1, 1, 4)), (1, 3, 1)).reshape(-1, 12)
     res = jax.vmap(pbch.search_and_unpack)(llrs12, quarter_of)
 
-    def rk(a):
-        return a.reshape(K, R).T                               # [R, K]
+    def kb(a):
+        return jnp.moveaxis(a.reshape((k,) + batch + (R,)), 0, -1)
 
-    found = rk(res["found"]) & valid                           # [R, K]
-    return (found, rk(res["nof_prb"]), rk(res["nof_ports"]),
-            rk(res["phich_ext"]), rk(res["phich_res"]),
-            rk(res["sfn_offset"]), acc_f, n_f, cell_f)
+    found = kb(res["found"]) & valid
+    return (found, kb(res["nof_prb"]), kb(res["nof_ports"]),
+            kb(res["phich_ext"]), kb(res["phich_res"]),
+            kb(res["sfn_offset"]), acc_f, n_f, cell_f)
 
 
 def _mib_postpass(state0: TriggerState, final: TriggerState,
-                  raw: RawStepOutput, combine: bool = True,
-                  do_decode: jnp.ndarray | None = None):
-    """Pass 2: batched MIB decode of the captured candidates + exact event
-    assembly.  Returns (final_state, StepOutput [n_steps, R, ...]).
+                  raw: RawStepOutput, buffer: cplx.Pair,
+                  combine: bool = True, do_extract=None, do_decode=None):
+    """Pass C.  Returns (final_state, StepOutput stacked [n_steps, ...]).
 
     combine=False forces every candidate to restart the TTI accumulator —
     stateless single-subframe decoding, kept for sensitivity A/B
     measurement (apps/snr_sweep.py --no-combine).
 
-    do_decode: scalar bool — run the PBCH+Viterbi batch at all.  Defaults
-    to `any candidate captured`; callers that vmap this pass (channel_scan)
-    pass a batch-global scalar so the lax.cond survives vmap as a real
-    branch and the universal no-detection case (noise channels, wideband
-    scans) skips the heavy decode entirely."""
-    K = final.cand_cell.shape[-1]
-    if do_decode is None:
-        do_decode = jnp.sum(final.cand_cnt) > 0
+    do_extract / do_decode: optional scalar bools overriding the internal
+    gates (`any step emitted` / `any candidate captured`).  Because this
+    whole module is rank-polymorphic rather than vmapped, the gates stay
+    real lax.cond branches for batched (multi-channel) calls too — the
+    universal no-detection case (noise channels, wideband scans) skips
+    everything below pass B.
+    """
+    s = raw.psr.shape[0]
+    k = K_CANDIDATES
+    batch = final.score.shape[:-1]
+    if do_extract is None:
+        do_extract = jnp.any(raw.emit)
 
-    def heavy(_):
-        return _decode_candidates(state0, final, combine)
+    zero_i = jnp.zeros(raw.psr.shape, jnp.int32)
+    zero_b = jnp.zeros(raw.psr.shape, bool)
 
     def cheap(_):
-        zi = jnp.zeros((R, K), jnp.int32)
-        return (jnp.zeros((R, K), bool), zi, zi, zi, zi, zi,
-                state0.llr_acc.reshape(R, 3, 4, 120), state0.mib_n,
-                state0.mib_cell)
+        mean0 = _ring_mean(state0.cfo_ring, state0.cfo_count)
+        cfo_mean = jnp.broadcast_to(mean0[None], raw.psr.shape)
+        return (final, zero_b, zero_b, zero_i, zero_i, zero_i, zero_i,
+                zero_i, zero_i, zero_i, zero_b, cfo_mean)
 
-    (found, prb_rk, ports_rk, pext_rk, pres_rk, sfn_rk,
-     acc_f, n_f, cell_f) = jax.lax.cond(do_decode, heavy, cheap, None)
+    def heavy(_):
+        # ---- batched slot-0 tail extraction for every step ----
+        grid = raw.grid                        # [S]
+        gridx = grid.reshape((s,) + (1,) * (len(batch) + 1))
+        st0 = gridx + raw.peak - LOOKBACK      # slot-0 start [S, .., R]
+        seg = _gather_steps(buffer, st0 + SEG_OFF, SEG)  # [S, .., R, SEG]
 
-    ks = jnp.arange(K, dtype=jnp.int32)
-    valid = ks[None, :] < final.cand_cnt[:, None]      # [R, K]
+        # ---- CFO estimate (on the PSS symbol) + ring recurrence ----
+        reps = tuple(jnp.asarray(a) for a in cfo_ops.replica_pairs())
+        pss_sym = cplx.index(seg, (..., slice(SEG - SYMBOL_SZ, SEG)))
+        est = cfo_ops.cfo_estimate(pss_sym, reps)       # [S, .., R]
 
-    # 4. publish-once-per-epoch: epoch = cumulative fresh count; the first
-    #    CRC-valid candidate of an epoch publishes (epoch 0 continues the
-    #    pre-chunk accumulator and cannot publish if already published)
-    fresh_eff = final.cand_fresh & valid
-    e = jnp.cumsum(fresh_eff.astype(jnp.int32), axis=1)        # [R, K]
-    same_ep = e[:, :, None] == e[:, None, :]
-    j_lt_k = ks[None, None, :] < ks[None, :, None]
-    prior = jnp.any(same_ep & j_lt_k & found[:, None, :], axis=-1)
-    is_pub = found & ~prior & ~(state0.published[:, None] & (e == 0))
+        def ring_step(carry, xs):
+            ring, count = carry
+            est_t, push_t, lost_t = xs
+            ring = jnp.where(lost_t[..., None], 0.0, ring)
+            count = jnp.where(lost_t, 0, count)
+            ring = jnp.where(push_t[..., None],
+                             _ring_push(ring, count, est_t), ring)
+            count = count + push_t.astype(jnp.int32)
+            return (ring, count), _ring_mean(ring, count)
 
-    # 5. map candidate verdicts back to step space
-    slot = raw.cand_slot                                       # [S, R]
-    cap = slot >= 0
-    sl = jnp.clip(slot, 0, K - 1)
-    ridx = jnp.arange(R, dtype=jnp.int32)[None, :]
-    track_event = cap & is_pub[ridx, sl]
+        push = raw.emit & raw.tracking
+        (ring_f, count_f), cfo_mean = jax.lax.scan(
+            ring_step, (state0.cfo_ring, state0.cfo_count),
+            (est, push, raw.lost))
 
-    def fld(a):                                                # [R,K] -> [S,R]
-        return jnp.where(track_event, a[ridx, sl], 0)
+        # ---- rotate, CP detect, SSS (reference sss block, sss_impl.cc) ----
+        freq = jnp.where(raw.tracking, -cfo_mean / SYMBOL_SZ, 0.0)
+        sf = cfo_ops.cfo_rotate(seg, freq, SEG_OFF)
+        normal_cp = sync.detect_cp(sf, end=SEG)
+        nid2 = jnp.arange(R, dtype=jnp.int32)
+        n_id_1, sub5 = sync.sss_decode(sf, nid2, normal_cp, end=SEG)
+        sss_valid = n_id_1 >= 0
+        cell_id = 3 * jnp.maximum(n_id_1, 0) + nid2
 
-    nof_prb = fld(prb_rk)
-    nof_ports = fld(ports_rk)
-    phich_ext = fld(pext_rk)
-    phich_res = fld(pres_rk)
-    sfn_offset = fld(sfn_rk)
+        # ---- capture selection ----
+        (want_cap, slot, fresh, cnt, cell_f0, pf_f, p_live_f,
+         overflow) = _capture_chain(state0, raw, sss_valid, sub5, cell_id, k)
 
-    # 6. published/drop state machine over steps, log-depth:
-    #    p' = track | (p & ~lost)  — linear boolean recurrence
-    t, l = track_event, raw.lost_flag
+        onehot = (slot[..., None] == jnp.arange(k, dtype=jnp.int32)) \
+            & want_cap[..., None]                       # [S, .., R, K]
+
+        def scatter(v, dtype=None):
+            x = v[..., None].astype(jnp.float32) * onehot.astype(jnp.float32)
+            out = jnp.sum(x, axis=0)
+            return out.astype(dtype) if dtype else out
+
+        cand_cell = scatter(cell_id, jnp.int32)
+        cand_cp = scatter(normal_cp, jnp.int32) > 0
+        cand_fresh = scatter(fresh, jnp.int32) > 0
+        cand_start = scatter(st0 + SLOT_LENGTH, jnp.int32)
+        cand_freq = scatter(freq)
+        valid = jnp.arange(k, dtype=jnp.int32) < cnt[..., None]
+
+        inner_decode = jnp.sum(cnt) > 0 if do_decode is None else do_decode
+
+        def dheavy(_):
+            return _decode_candidates(state0, buffer, cand_start, cand_freq,
+                                      cand_cell, cand_cp, cand_fresh, valid,
+                                      combine)
+
+        def dcheap(_):
+            zi = jnp.zeros(batch + (R, k), jnp.int32)
+            return (jnp.zeros(batch + (R, k), bool), zi, zi, zi, zi, zi,
+                    state0.llr_acc.reshape(batch + (R, 3, 4, 120)),
+                    state0.mib_n, state0.mib_cell)
+
+        (found, prb_rk, ports_rk, pext_rk, pres_rk, sfn_rk,
+         acc_f, n_f, cell_f) = jax.lax.cond(inner_decode, dheavy, dcheap,
+                                            None)
+
+        # ---- publish-once-per-epoch (epoch = cumulative fresh count) ----
+        fresh_eff = cand_fresh & valid
+        e = jnp.cumsum(fresh_eff.astype(jnp.int32), axis=-1)    # [.., R, K]
+        same_ep = e[..., :, None] == e[..., None, :]
+        ks = jnp.arange(k, dtype=jnp.int32)
+        j_lt_k = ks[None, :] < ks[:, None]                      # [K(k), K(j)]
+        prior = jnp.any(same_ep & j_lt_k & found[..., None, :], axis=-1)
+        is_pub = found & ~prior & ~(state0.published[..., None] & (e == 0))
+
+        # ---- map candidate verdicts back to step space ----
+        track_event = jnp.any(onehot & is_pub[None], axis=-1)   # [S, .., R]
+
+        def fld(a):
+            x = a[None].astype(jnp.float32) * onehot.astype(jnp.float32)
+            return jnp.where(track_event, jnp.sum(x, -1).astype(jnp.int32), 0)
+
+        new_final = final._replace(
+            cfo_ring=ring_f, cfo_count=count_f,
+            llr_acc=acc_f.reshape(batch + (R, 12, 120)),
+            mib_n=n_f, mib_cell=cell_f,
+            pending_fresh=pf_f,
+            cap_overflow=state0.cap_overflow + overflow,
+        )
+        return (new_final, track_event, raw.lost, fld(prb_rk),
+                fld(ports_rk), fld(pext_rk), fld(pres_rk), fld(sfn_rk),
+                cell_id, zero_i + normal_cp.astype(jnp.int32),
+                jnp.zeros(raw.psr.shape, bool), cfo_mean)
+
+    (mid_final, track_event, lost_e, nof_prb, nof_ports, phich_ext,
+     phich_res, sfn_offset, cell_id_o, normal_cp_i, _pad, cfo_mean) = \
+        jax.lax.cond(do_extract, heavy, cheap, None)
+
+    # ---- published/drop state machine over steps, log-depth ----
+    t, l = track_event, lost_e
     A, B = jax.lax.associative_scan(
         lambda x, y: (x[0] & y[0], (x[1] & y[0]) | y[1]), (~l, t), axis=0)
-    p0 = state0.published[None, :]
-    p_incl = (p0 & A) | B                                      # [S, R]
-    p_before = jnp.concatenate([jnp.broadcast_to(p0, (1, R)), p_incl[:-1]])
+    p0 = state0.published[None]
+    p_incl = (p0 & A) | B
+    p_before = jnp.concatenate(
+        [jnp.broadcast_to(p0, p_incl[:1].shape), p_incl[:-1]], axis=0)
     drop_event = l & p_before
-    # last published cell id (updated at track steps)
     S2, I2 = jax.lax.associative_scan(
         lambda x, y: (x[0] | y[0], jnp.where(y[0], y[1], x[1])),
-        (t, jnp.where(t, raw.cell_id, 0)), axis=0)
-    id0 = state0.pub_cell_id[None, :]
+        (t, jnp.where(t, cell_id_o, 0)), axis=0)
+    id0 = state0.pub_cell_id[None]
     id_incl = jnp.where(S2, I2, id0)
-    id_before = jnp.concatenate([jnp.broadcast_to(id0, (1, R)), id_incl[:-1]])
+    id_before = jnp.concatenate(
+        [jnp.broadcast_to(id0, id_incl[:1].shape), id_incl[:-1]], axis=0)
 
-    final_state = final._replace(
+    final_state = mid_final._replace(
         published=p_incl[-1],
         pub_cell_id=id_incl[-1],
-        # published_live re-synchronizes to the exact post-pass value so the
-        # next chunk's in-scan gating starts from truth
-        published_live=p_incl[-1],
-        llr_acc=acc_f.reshape(R, 12, 120),
-        mib_n=n_f,
-        mib_cell=cell_f,
-        cand_cnt=jnp.zeros_like(final.cand_cnt),
     )
     out = StepOutput(
         track_event=track_event,
         drop_event=drop_event,
         drop_cell_id=id_before,
-        cell_id=raw.cell_id,
+        cell_id=cell_id_o,
         nof_prb=nof_prb,
         nof_ports=nof_ports,
         phich_ext=phich_ext,
         phich_res=phich_res,
         sfn_offset=sfn_offset,
-        normal_cp=raw.normal_cp,
+        normal_cp=normal_cp_i > 0,
         psr=raw.psr,
         score=raw.score,
         tracking=raw.tracking,
-        cfo_mean=raw.cfo_mean,
+        cfo_mean=cfo_mean,
         consumed=raw.consumed,
     )
     return final_state, out
@@ -540,7 +712,7 @@ _F32_FIELDS = ("psr", "cfo_mean")
 
 
 def pack_output(out: StepOutput) -> jnp.ndarray:
-    """StepOutput -> ONE [n_steps, R, 15] float32 array.
+    """StepOutput -> ONE [n_steps, ..., 15] float32 array.
 
     The host drain on the tunneled runtime pays ~25 ms of round-trip
     latency PER device->host transfer; fetching the 15 output fields
@@ -566,47 +738,21 @@ def unpack_output(arr) -> StepOutput:
     return StepOutput(**kw)
 
 
-def scan_pass(buffer: cplx.Pair, state: TriggerState, n_steps: int,
-              psr_threshold,
-              track_after: int = DEFAULT_TRACK_AFTER,
-              track_every: int = DEFAULT_TRACK_EVERY,
-              n_valid: jnp.ndarray | None = None):
-    """Pass 1 only: scan `n_steps` half-frame steps over a padded stream
-    buffer, capturing MIB candidates.  Returns (final_state, RawStepOutput
-    stacked [n_steps, R, ...]); feed to _mib_postpass to finish."""
-    if n_valid is None:
-        n_valid = buffer[0].shape[0]
-    n_valid = jnp.asarray(n_valid, dtype=jnp.int32)
-    thresh = jnp.asarray(psr_threshold, dtype=jnp.float32)
-
-    def step(st, _):
-        active = st.pos + (WINDOW - LOOKBACK) <= n_valid
-        start = jnp.clip(st.pos - LOOKBACK, 0, buffer[0].shape[0] - WINDOW)
-        gather = jax.vmap(
-            lambda b, s: jax.lax.dynamic_slice(b, (s,), (WINDOW,)),
-            in_axes=(None, 0))
-        windows = (gather(buffer[0], start), gather(buffer[1], start))
-        return trigger_step(st, windows, thresh, track_after, track_every,
-                            active=active)
-
-    return jax.lax.scan(step, state, None, length=n_steps)
-
-
 def scan_engine(buffer: cplx.Pair, state: TriggerState, n_steps: int,
                 psr_threshold,
                 track_after: int = DEFAULT_TRACK_AFTER,
                 track_every: int = DEFAULT_TRACK_EVERY,
-                n_valid: jnp.ndarray | None = None,
-                combine: bool = True):
+                n_valid=None, combine: bool = True,
+                grid0_static: int | None = None):
     """Device-resident engine: scan `n_steps` half-frame steps over a
     padded stream buffer, then batch-decode the captured MIB candidates
     (the whole GNU Radio scheduler collapses to this).
 
-    buffer: pair of [N] float32; must start with >= LOOKBACK zeros and be
-    long enough that any active pos can gather a full WINDOW.
-    n_valid: logical end of data in `buffer` (default: len(buffer)).
-    returns: (final_state, StepOutput stacked [n_steps, R, ...])
+    buffer: pair of [..., N] float32 (leading dims = channels); see
+    scan_pass for the padding contract.
+    returns: (final_state, StepOutput stacked [n_steps, ...])
     """
     final, raw = scan_pass(buffer, state, n_steps, psr_threshold,
-                           track_after, track_every, n_valid=n_valid)
-    return _mib_postpass(state, final, raw, combine=combine)
+                           track_after, track_every, n_valid=n_valid,
+                           grid0_static=grid0_static)
+    return _mib_postpass(state, final, raw, buffer, combine=combine)

@@ -51,6 +51,16 @@ def cfo_correct(x: cplx.Pair, freq) -> cplx.Pair:
     return cplx.mul(x, cplx.expi(theta))
 
 
+def cfo_rotate(x: cplx.Pair, freq, offset: int) -> cplx.Pair:
+    """Multiply by exp(2j*pi*freq*(offset + n)) — cfo_correct for a segment
+    whose sample 0 sits `offset` samples into the frame the frequency ramp
+    is anchored to (the grid engine corrects slot-0 tails and lazily
+    gathered slot-1 candidates without materializing whole subframes)."""
+    n = offset + jnp.arange(x[0].shape[-1], dtype=jnp.float32)
+    theta = 2 * jnp.pi * jnp.asarray(freq)[..., None] * n
+    return cplx.mul(x, cplx.expi(theta))
+
+
 def pss_chest(pss_symbol: cplx.Pair, n_id_2: int) -> cplx.Pair:
     """LS channel estimate over the 62 PSS subcarriers.
 

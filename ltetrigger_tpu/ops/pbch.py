@@ -96,6 +96,35 @@ def ofdm_demod_slot(slot: cplx.Pair, normal_cp: bool) -> cplx.Pair:
 
 
 # ------------------------------------------------------------------ chest --
+# The CRS subcarrier offset k0 = (v + v_shift) mod 6 is a *traced* value
+# (cell_id comes from SSS at runtime).  Round 2 selected pilots and
+# interpolated with take_along_axis on per-candidate indices — on TPU those
+# lower to element-proportional gathers that dominated the whole MIB decode
+# (measured 547 ms of a 664 ms postpass at the bench batch).  Here every
+# offset-dependent selection is a static matrix for each of the 6 possible
+# offsets, evaluated for ALL offsets as one small matmul and collapsed with
+# a one-hot weighting — pure MXU/VPU, no gathers.
+@functools.lru_cache(maxsize=None)
+def _crs_sel_mats():
+    """(Y [6, 72, 12], W [6, 12, 72]) float32: for CRS offset v, Y selects
+    the 12 pilot REs (k = v + 6m) from a 72-subcarrier symbol and W is the
+    exact linear-interp-with-flat-extrapolation map back to 72."""
+    Y = np.zeros((6, 72, 12), dtype=np.float32)
+    W = np.zeros((6, 12, 72), dtype=np.float32)
+    for v in range(6):
+        for m in range(12):
+            Y[v, v + 6 * m, m] = 1.0
+        j = np.arange(72)
+        t = (j - v) / 6.0
+        mf = np.clip(np.floor(t), 0, 10).astype(int)
+        fr = np.clip(t - mf, 0.0, 1.0)
+        mh = np.minimum(mf + 1, 11)
+        for jj in range(72):
+            W[v, mf[jj], jj] += 1.0 - fr[jj]
+            W[v, mh[jj], jj] += fr[jj]
+    return Y, W
+
+
 def _crs_pilots(cell_id, slot_no: int, sym: int, normal_cp: bool):
     """pair of [..., 12] pilots for the centered 6 PRB (traced cell_id)."""
     c_init = scrambling.crs_c_init(cell_id, slot_no, sym, normal_cp)
@@ -117,56 +146,63 @@ def _crs_v(port: int, sym: int, slot_no: int) -> int:
 
 
 def _chest_port(slot_syms: cplx.Pair, cell_id, slot_no: int, port: int,
-                normal_cp: bool) -> cplx.Pair:
-    """pair of [..., 72] averaged LS estimate with linear freq interp."""
+                normal_cp: bool, oh6=None) -> cplx.Pair:
+    """pair of [..., 72] averaged LS estimate with linear freq interp.
+
+    oh6: optional precomputed one-hot of v_shift = cell_id mod 6 ([..., 6]).
+    """
     if port in (0, 1):
         crs_syms = (0, 4) if normal_cp else (0, 3)
     else:
         crs_syms = (1,)
-    v_shift = jnp.mod(cell_id, 6)
+    if oh6 is None:
+        v_shift = jnp.mod(cell_id, 6)
+        oh6 = (jnp.arange(6) == v_shift[..., None]).astype(jnp.float32)
+    Y, W = _crs_sel_mats()
+    Yj, Wj = jnp.asarray(Y), jnp.asarray(W)
     acc = cplx.zeros(slot_syms[0].shape[:-2] + (72,))
     for sym in crs_syms:
         pil = _crs_pilots(cell_id, slot_no, sym, normal_cp)
-        k0 = jnp.mod(_crs_v(port, sym, slot_no) + v_shift, 6)
-        k = k0[..., None] + 6 * jnp.arange(12)
-        y = (jnp.take_along_axis(slot_syms[0][..., sym, :], k, axis=-1),
-             jnp.take_along_axis(slot_syms[1][..., sym, :], k, axis=-1))
-        h_ls = cplx.div_real(cplx.mul_conj(y, pil), cplx.abs2(pil))
-        # linear interp to all 72 subcarriers, flat extrapolation at edges
-        j = jnp.arange(72)
-        t = (j - k0[..., None]) / 6.0
-        mfloor = jnp.clip(jnp.floor(t), 0, 10).astype(jnp.int32)
-        frac = jnp.clip(t - mfloor, 0.0, 1.0).astype(jnp.float32)
-        lo = (jnp.take_along_axis(h_ls[0], mfloor, axis=-1),
-              jnp.take_along_axis(h_ls[1], mfloor, axis=-1))
-        mhi = jnp.minimum(mfloor + 1, 11)
-        hi = (jnp.take_along_axis(h_ls[0], mhi, axis=-1),
-              jnp.take_along_axis(h_ls[1], mhi, axis=-1))
-        interp = cplx.add(cplx.scale(lo, 1 - frac), cplx.scale(hi, frac))
-        acc = cplx.add(acc, interp)
+        # one-hot of k0 = (v + v_shift) mod 6 is oh6 rolled by the static v
+        ohk = jnp.roll(oh6, _crs_v(port, sym, slot_no), axis=-1)
+        # all 6 offsets at once, then collapse: pilot REs ...
+        y_all = (jnp.einsum("...k,vkm->...vm", slot_syms[0][..., sym, :], Yj),
+                 jnp.einsum("...k,vkm->...vm", slot_syms[1][..., sym, :], Yj))
+        h_all = cplx.div_real(cplx.mul_conj(y_all, cplx.index(
+            pil, (..., None, slice(None)))), cplx.abs2(pil)[..., None, :])
+        # ... interpolated back to 72 subcarriers per offset, then selected
+        h72 = (jnp.einsum("...vm,vmj,...v->...j", h_all[0], Wj, ohk),
+               jnp.einsum("...vm,vmj,...v->...j", h_all[1], Wj, ohk))
+        acc = cplx.add(acc, h72)
     return cplx.scale(acc, 1.0 / len(crs_syms))
 
 
-# ------------------------------------------------------- PBCH RE gathering --
-def _pbch_gather_indices(v_shift, normal_cp: bool):
-    """(l_idx, k_idx) traced int arrays of static length (240 or 216).
-
-    Frequency-first order.  For CRS-reserved symbols only k % 3 != v3 are
-    used: k_j = 3*(j//2) + (a if j even else b) with {a,b} = {0,1,2}\\{v3}.
-    """
-    v3 = jnp.mod(v_shift, 3)
-    a = jnp.where(v3 == 0, 1, 0)
-    b = jnp.where(v3 == 2, 1, 2)
-    j = jnp.arange(48)
-    k_res = (3 * (j // 2) + jnp.where(j % 2 == 0, a, b)).astype(jnp.int32)
-    k_full = jnp.arange(72, dtype=jnp.int32)
+# ------------------------------------------------------- PBCH RE selection --
+@functools.lru_cache(maxsize=None)
+def _pbch_sel_mats(normal_cp: bool):
+    """(P [3, 288, E], K72 [3, 72, E]) float32 selection matrices per
+    v3 = cell_id mod 3: P maps the flattened 4x72 PBCH symbol grid to the E
+    used REs (frequency-first order; CRS-reserved symbols skip k % 3 == v3:
+    k_j = 3*(j//2) + (a if j even else b) with {a,b} = {0,1,2}\\{v3}); K72
+    maps a 72-subcarrier channel estimate to the same E positions."""
+    e = E_BITS[normal_cp] // 2
     crs_syms = (0, 1) if normal_cp else (0, 1, 3)
-    ls, ks = [], []
-    for l in range(4):
-        k = k_res if l in crs_syms else k_full
-        ks.append(k)
-        ls.append(jnp.full(k.shape, l, dtype=jnp.int32))
-    return jnp.concatenate(ls), jnp.concatenate(ks)
+    P = np.zeros((3, 4 * 72, e), dtype=np.float32)
+    K72 = np.zeros((3, 72, e), dtype=np.float32)
+    for v3 in range(3):
+        ab = [x for x in (0, 1, 2) if x != v3]
+        idx = 0
+        for l in range(4):
+            if l in crs_syms:
+                ks = [3 * (j // 2) + ab[j % 2] for j in range(48)]
+            else:
+                ks = list(range(72))
+            for k in ks:
+                P[v3, l * 72 + k, idx] = 1.0
+                K72[v3, k, idx] = 1.0
+                idx += 1
+        assert idx == e
+    return P, K72
 
 
 # ---------------------------------------------------------------- equalize --
@@ -239,11 +275,23 @@ def pbch_quarter_llrs_slot1(slot1_td: cplx.Pair, cell_id, normal_cp: bool):
 
     slot1_td: pair of [960] float32 (the slot holding PBCH symbols 0-3)."""
     slot1 = ofdm_demod_slot(slot1_td, normal_cp)
+    v3 = jnp.mod(cell_id, 3)
+    oh3 = (jnp.arange(3) == v3[..., None]).astype(jnp.float32)
     v_shift = jnp.mod(cell_id, 6)
-    l_idx, k_idx = _pbch_gather_indices(v_shift, normal_cp)
-    y = (slot1[0][l_idx, k_idx], slot1[1][l_idx, k_idx])       # pair [E]
-    h = [cplx.index(_chest_port(slot1, cell_id, 1, p, normal_cp),
-                    (k_idx,)) for p in range(4)]
+    oh6 = (jnp.arange(6) == v_shift[..., None]).astype(jnp.float32)
+
+    P, K72 = _pbch_sel_mats(normal_cp)
+    Pj, Kj = jnp.asarray(P), jnp.asarray(K72)
+    grid = (slot1[0][..., :4, :].reshape(slot1[0].shape[:-2] + (288,)),
+            slot1[1][..., :4, :].reshape(slot1[1].shape[:-2] + (288,)))
+    # used REs for all 3 v3 hypotheses at once, collapsed by the one-hot
+    y = (jnp.einsum("...k,vke,...v->...e", grid[0], Pj, oh3),
+         jnp.einsum("...k,vke,...v->...e", grid[1], Pj, oh3))  # pair [E]
+    h = []
+    for p in range(4):
+        hp = _chest_port(slot1, cell_id, 1, p, normal_cp, oh6=oh6)
+        h.append((jnp.einsum("...k,vke,...v->...e", hp[0], Kj, oh3),
+                  jnp.einsum("...k,vke,...v->...e", hp[1], Kj, oh3)))
 
     e_bits = E_BITS[normal_cp]
     d_hyp = [(_equalize(y, h, p)) for p in (1, 2, 4)]

@@ -48,16 +48,19 @@ def _partial_corr_metric(y: cplx.Pair, sections: int) -> jnp.ndarray:
     return jnp.sum(power.reshape(power.shape[:-1] + (sections, 31)), axis=-2)
 
 
-def detect_cp(aligned: cplx.Pair) -> jnp.ndarray:
+def detect_cp(aligned: cplx.Pair, end: int = SLOT_LENGTH) -> jnp.ndarray:
     """bool (True = Normal CP) from the 2 symbols preceding the PSS.
 
-    aligned: pair of [..., >=960] float32, PSS data at [832, 960).
+    aligned: pair of [..., >=end] float32 — a slot-0 tail whose last sample
+    is the slot boundary, PSS data at [end-128, end).  With the default
+    `end` this is a whole peak-aligned slot; the grid engine passes a
+    shorter tail segment (trigger.SEG).
     """
     def score(cp: int):
         shape = aligned[0].shape[:-1]
         num = cplx.zeros(shape)
         den = jnp.full(shape, 1e-30, dtype=jnp.float32)
-        pos = SLOT_LENGTH - SYMBOL_SZ
+        pos = end - SYMBOL_SZ
         for _ in range(2):
             pos -= SYMBOL_SZ + cp
             c = cplx.index(aligned, (..., slice(pos - cp, pos)))
@@ -72,10 +75,13 @@ def detect_cp(aligned: cplx.Pair) -> jnp.ndarray:
 
 
 def sss_decode(aligned: cplx.Pair, n_id_2: jnp.ndarray,
-               normal_cp: jnp.ndarray, sections: int = SSS_SECTIONS):
+               normal_cp: jnp.ndarray, sections: int = SSS_SECTIONS,
+               end: int = SLOT_LENGTH):
     """SSS -> (n_id_1 [..., int32, -1 invalid], subframe5 [..., bool]).
 
-    aligned:   pair of [..., 9600] peak-aligned half-frame
+    aligned:   pair of [..., >=end] — slot-0 samples whose index `end` is
+               the slot boundary (a whole aligned slot by default, or the
+               grid engine's tail segment)
     n_id_2:    [...] int32 root index per batch element
     normal_cp: [...] bool (selects the SSS symbol position)
     sections:  m-sequence correlation sub-segments summed noncoherently
@@ -85,8 +91,8 @@ def sss_decode(aligned: cplx.Pair, n_id_2: jnp.ndarray,
     zb = jnp.asarray(sssmod.z_bank())             # [8, 31]
     tab = jnp.asarray(sssmod.nid1_table())        # [31, 31]
 
-    idx_norm = SLOT_LENGTH - 2 * SYMBOL_SZ - CP_NORM
-    idx_ext = SLOT_LENGTH - 2 * SYMBOL_SZ - CP_EXT
+    idx_norm = end - 2 * SYMBOL_SZ - CP_NORM
+    idx_ext = end - 2 * SYMBOL_SZ - CP_EXT
     sym_n = cplx.index(aligned, (..., slice(idx_norm, idx_norm + SYMBOL_SZ)))
     sym_e = cplx.index(aligned, (..., slice(idx_ext, idx_ext + SYMBOL_SZ)))
     sym = cplx.where(normal_cp[..., None], sym_n, sym_e)

@@ -86,7 +86,97 @@ def _butterfly_tables():
     return np.ascontiguousarray(np.swapaxes(out_np, 0, 1))
 
 
+@functools.lru_cache(maxsize=None)
+def _radix4_tables():
+    """Two trellis stages fused (radix-4 ACS): for new state ns and
+    j = (drop_last << 1) | drop_first, the two-step predecessor is
+    pp = 4*(ns & 15) + j (a static tile pattern — no gathers), with
+    branch symbols OB2[ns, j, 0:3] = first transition, [3:6] = second,
+    and the two survivor bits BITS2[ns, j] = (bit(ps1) << 1) | bit(ns)."""
+    prev_np, out_np = _tables()
+    OB2 = np.zeros((N_STATES, 4, 6), dtype=np.float32)
+    BITS2 = np.zeros((N_STATES, 4), dtype=np.uint32)
+    for ns in range(N_STATES):
+        for d0 in range(2):                     # last transition's drop
+            ps1 = int(prev_np[ns, d0])
+            for d1 in range(2):                 # first transition's drop
+                j = (d0 << 1) | d1
+                pp = int(prev_np[ps1, d1])
+                assert pp == 4 * (ns & 15) + j  # the static tile layout
+                OB2[ns, j, 0:3] = out_np[ps1, d1]
+                OB2[ns, j, 3:6] = out_np[ns, d0]
+                BITS2[ns, j] = ((ps1 >> 5) << 1) | (ns >> 5)
+    return OB2, BITS2
+
+
+def _sel4(cands, dec):
+    """cands [..., 4] selected by dec [...] in {0..3} without a gather."""
+    return jnp.where(dec == 0, cands[..., 0],
+                     jnp.where(dec == 1, cands[..., 1],
+                               jnp.where(dec == 2, cands[..., 2],
+                                         cands[..., 3])))
+
+
 def viterbi_decode_wa(llr: jnp.ndarray):
+    """Wrap-around tail-biting decode, radix-4: two trellis stages per scan
+    step (60 sequential steps instead of 120 — the decode postpass is
+    latency-bound on this serial chain).  Identical survivor paths to the
+    radix-2 formulation up to argmax tie order; same outputs/metric contract
+    as viterbi_decode_wa_r2.
+
+    llr: [B, 40, 3] float32 — +1 favours bit 0.
+    returns: (bits [B, 40] int32, metric [B] float32)
+    """
+    OB2_np, BITS2_np = _radix4_tables()
+    OB2 = jnp.asarray(OB2_np)                          # [64, 4, 6]
+    BITS2 = jnp.asarray(BITS2_np.astype(np.int32))     # [64, 4]
+    B = llr.shape[0]
+    n = llr.shape[1]
+    r3 = jnp.concatenate([llr, llr, llr], axis=1)      # [B, 3n, 3]
+    r6 = r3.reshape(B, 3 * n // 2, 6)                  # two symbols per step
+
+    def tile4(x):
+        return jnp.tile(x.reshape(B, 1, 16, 4),
+                        (1, 4, 1, 1)).reshape(B, N_STATES, 4)
+
+    def acs2(carry, r_t):
+        m, r2, r1, r0 = carry
+        br = jnp.einsum("njc,bc->bnj", OB2, r_t)       # [B, 64, 4]
+        cand = tile4(m) + br
+        dec = jnp.argmax(cand, axis=-1)                # [B, 64]
+        m_new = jnp.max(cand, axis=-1)
+        bits2 = _sel4(jnp.broadcast_to(BITS2, (B,) + BITS2.shape), dec) \
+            .astype(jnp.uint32)
+
+        def exch(r):
+            return _sel4(tile4(r), dec)
+
+        r0p, r1p, r2p = exch(r0), exch(r1), exch(r2)
+        r0n = (r0p << 2) | bits2
+        r1n = (r1p << 2) | (r0p >> 30)
+        r2n = (r2p << 2) | (r1p >> 30)
+        return (m_new, r2n, r1n, r0n), None
+
+    m0 = jnp.zeros((B, N_STATES), jnp.float32)
+    z = jnp.zeros((B, N_STATES), jnp.uint32)
+    (m, r2, r1, r0), _ = jax.lax.scan(acs2, (m0, z, z, z),
+                                      jnp.swapaxes(r6, 0, 1))
+
+    best = jnp.argmax(m, axis=-1)
+    metric = jnp.max(m, axis=-1) / 3.0
+    bidx = jnp.arange(B)
+    h2 = r2[bidx, best]
+    h1 = r1[bidx, best]
+    t = jnp.arange(n, dtype=jnp.uint32) + n            # middle copy
+    k = jnp.uint32(3 * n - 1) - t
+    from_r2 = k >= 64
+    word = jnp.where(from_r2[None, :], h2[:, None], h1[:, None])
+    shift = jnp.where(from_r2, k - 64, k - 32)
+    bits = (word >> shift[None, :]) & 1
+    return bits.astype(jnp.int32), metric
+
+
+def viterbi_decode_wa_r2(llr: jnp.ndarray):
     """Wrap-around tail-biting decode (srsLTE's PBCH strategy).
 
     llr: [B, 40, 3] float32 — +1 favours bit 0 (matches out_bits polarity).

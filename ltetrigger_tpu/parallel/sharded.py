@@ -42,25 +42,18 @@ from ..models import trigger as trig
 
 # --------------------------------------------------------- channel scan ----
 @functools.partial(jax.jit, static_argnames=("n_steps", "track_after",
-                                             "track_every", "combine"))
+                                             "track_every", "combine",
+                                             "grid0_static"))
 def _channel_scan_jit(buffers, states, psr_threshold, n_steps,
-                      track_after, track_every, combine):
-    def run(buf, st):
-        return trig.scan_pass(buf, st, n_steps, psr_threshold,
-                              track_after, track_every)
-
-    finals, raws = jax.vmap(run)(buffers, states)
-    # batch-global decode gate: a SCALAR (computed outside the vmap) so the
-    # lax.cond inside _mib_postpass stays a real branch under vmap — when no
-    # channel captured anything (the universal case for noise channels /
-    # wideband scans) the whole PBCH+Viterbi batch is skipped
-    do_decode = jnp.sum(finals.cand_cnt) > 0
-
-    def fin(st0, fi, raw):
-        return trig._mib_postpass(st0, fi, raw, combine=combine,
-                                  do_decode=do_decode)
-
-    return jax.vmap(fin)(states, finals, raws)
+                      track_after, track_every, combine, grid0_static):
+    # the engine is rank-polymorphic: the [C] channel axis rides as a
+    # leading batch dim of every tensor (no outer vmap), which keeps the
+    # postpass lax.cond gates real branches — when no channel emitted or
+    # captured anything (the universal case for noise channels / wideband
+    # scans) everything past the correlation+hysteresis passes is skipped
+    return trig.scan_engine(buffers, states, n_steps, psr_threshold,
+                            track_after, track_every, combine=combine,
+                            grid0_static=grid0_static)
 
 
 def channel_scan(buffers: jnp.ndarray, n_steps: int, psr_threshold,
@@ -82,7 +75,8 @@ def channel_scan(buffers: jnp.ndarray, n_steps: int, psr_threshold,
     seconds of host time per invocation).
     """
     c = buffers[0].shape[0]
-    if states is None:
+    fresh = states is None
+    if fresh:
         states = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (c,) + x.shape), trig.init_state())
 
@@ -90,13 +84,12 @@ def channel_scan(buffers: jnp.ndarray, n_steps: int, psr_threshold,
         cs = NamedSharding(mesh, P("ch"))
         buffers = jax.device_put(buffers, cs)
         states = jax.device_put(states, cs)
-    final, out = _channel_scan_jit(buffers, states,
-                                   jnp.asarray(psr_threshold, jnp.float32),
-                                   n_steps, track_after, track_every,
-                                   combine)
-    # out is [C, n_steps, R, ...] under vmap; transpose to [n_steps, C, R,...]
-    out = jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 0, 1), out)
-    return final, out
+    # fresh states start at the static grid origin -> static pass-A slicing
+    grid0_static = trig.LOOKBACK if fresh else None
+    return _channel_scan_jit(buffers, states,
+                             jnp.asarray(psr_threshold, jnp.float32),
+                             n_steps, track_after, track_every,
+                             combine, grid0_static)
 
 
 # ----------------------------------------------------- time-sharded scan ---
@@ -129,8 +122,11 @@ def time_sharded_scan(stream: jnp.ndarray, mesh: Mesh, psr_threshold,
     n_t = mesh.shape["t"]
     assert stream[0].shape[0] % n_t == 0
     block = stream[0].shape[0] // n_t
+    assert block % trig.HALF_FRAME_LENGTH == 0, (
+        "pad the stream so each time block is a half-frame multiple — the "
+        "grid engine searches in exact 9600-sample tiles")
     halo = trig.WINDOW
-    steps = block // (trig.HALF_FRAME_LENGTH - trig.LOOKBACK - 1) + 1
+    steps = block // trig.HALF_FRAME_LENGTH
 
     def shard_fn(*x_local):
         zh = jnp.zeros(trig.LOOKBACK, jnp.float32)
@@ -138,12 +134,18 @@ def time_sharded_scan(stream: jnp.ndarray, mesh: Mesh, psr_threshold,
         buf = tuple(jnp.concatenate(
             [zh, halo_exchange_right(comp[0], halo), zt])
             for comp in x_local)
-        # logical end: only peaks that *start* inside this block are ours;
-        # the halo exists so windows reaching past the seam stay valid.
-        n_valid = trig.LOOKBACK + block + halo
+        # logical end: exactly the grid steps whose 9600 candidate starts
+        # lie inside this block are active (active <=> grid + V2_WINDOW <=
+        # n_valid <=> 9600*(k+1) <= block) — each stream position is owned
+        # by exactly one shard; the halo exists so windows reaching past
+        # the seam stay valid.
+        from ..ops.correlate import V2_WINDOW
+        n_valid = trig.LOOKBACK + block + (V2_WINDOW
+                                           - trig.HALF_FRAME_LENGTH)
         st, out = trig.scan_engine(buf, trig.init_state(), steps,
                                    psr_threshold, track_after, track_every,
-                                   n_valid=n_valid)
+                                   n_valid=n_valid,
+                                   grid0_static=trig.LOOKBACK)
         return jax.tree_util.tree_map(lambda a: a[None], out)
 
     fn = jax.jit(jax.shard_map(

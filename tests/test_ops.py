@@ -260,6 +260,24 @@ class TestViterbi:
             np.testing.assert_allclose(np.asarray(mw), np.asarray(mt),
                                        rtol=1e-5 if noise == 0.0 else 0.05)
 
+    def test_radix4_matches_radix2(self):
+        """The radix-4 production decoder (2 trellis stages per scan step)
+        must be bit- and metric-exact vs the radix-2 formulation."""
+        from ltetrigger_tpu.ltecore import coding
+        from ltetrigger_tpu.ops.viterbi import (viterbi_decode_wa,
+                                                viterbi_decode_wa_r2)
+        rng = np.random.default_rng(12)
+        bits_in = rng.integers(0, 2, size=(32, 40)).astype(np.uint8)
+        llr = np.stack([
+            (1.0 - 2.0 * coding.conv_encode(b).astype(np.float64)
+             + 0.8 * rng.normal(size=(3, 40))).T
+            for b in bits_in])
+        llr = jnp.asarray(llr, dtype=jnp.float32)
+        b4, m4 = viterbi_decode_wa(llr)
+        b2, m2 = viterbi_decode_wa_r2(llr)
+        np.testing.assert_array_equal(np.asarray(b4), np.asarray(b2))
+        np.testing.assert_allclose(np.asarray(m4), np.asarray(m2), rtol=1e-6)
+
 
 class TestCorrelateV2:
     def test_v2_matches_v1(self, frame6):
