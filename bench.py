@@ -191,6 +191,10 @@ def main():
         s_sps, s_ok = _streaming_throughput()
         extra["streaming_sps"] = round(s_sps, 1)
         extra["streaming_checked"] = bool(s_ok)
+    if not os.environ.get("BENCH_SKIP_WIDEBAND"):
+        w_sps, w_ok = _wideband_throughput()
+        extra["wideband_sps"] = round(w_sps, 1)
+        extra["wideband_checked"] = bool(w_ok)
 
     print(json.dumps({
         "metric": "full_trigger_throughput",

@@ -27,6 +27,34 @@ import sys
 import numpy as np
 
 
+def _noisy_buffers(sig, sigmas, key):
+    """[N] clean signal + [C] noise sigmas -> padded [C, N'] scan buffers,
+    entirely on device."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import trigger as trig
+
+    @functools.partial(jax.jit, static_argnames=())
+    def build(sig, sigmas, key):
+        c = sigmas.shape[0]
+        n = sig[0].shape[0]
+        kr, ki = jax.random.split(key)
+        zh = jnp.zeros((c, trig.LOOKBACK), jnp.float32)
+        zt = jnp.zeros((c, trig.WINDOW), jnp.float32)
+
+        def comp(s, k):
+            noise = jax.random.normal(k, (c, n), jnp.float32) \
+                * sigmas[:, None]
+            return jnp.concatenate([zh, s[None] + noise, zt], axis=1)
+
+        return (comp(sig[0], kr), comp(sig[1], ki))
+
+    return build(sig, sigmas, key)
+
+
 def snr_sweep(iq: np.ndarray, sample_rate: float, snrs_db,
               seconds: float = 0.5, psr_threshold: float = 4.0,
               seed: int = 0, mesh=None, n_trials: int = 1,
@@ -60,21 +88,18 @@ def snr_sweep(iq: np.ndarray, sample_rate: float, snrs_db,
         sig = multipath_channel(sig, channel_taps)
     sig = sig / np.sqrt(np.mean(np.abs(sig) ** 2) + 1e-30)
 
-    rng = np.random.default_rng(seed)
-    chans = []
-    for snr_db in snrs_db:
-        npow = 10 ** (-snr_db / 10.0)
-        for _ in range(n_trials):
-            noise = rng.normal(size=sig.size) + 1j * rng.normal(size=sig.size)
-            noise *= np.sqrt(npow / 2.0)
-            chans.append(sig + noise)
-    arr = np.stack(chans).astype(np.complex64)
-    c = arr.shape[0]
-    pad_head = np.zeros((c, trig.LOOKBACK), np.complex64)
-    pad_tail = np.zeros((c, trig.WINDOW), np.complex64)
-    arr = np.concatenate([pad_head, arr, pad_tail], axis=1)
-    buffers = (jnp.asarray(arr.real.astype(np.float32)),
-               jnp.asarray(arr.imag.astype(np.float32)))
+    # noise is generated ON DEVICE (jax PRNG): the host uploads one clean
+    # signal (~MBs) instead of (n_snr x n_trials) noisy copies — on the
+    # tunneled runtime that upload dominated the whole sweep's wall clock
+    import jax
+
+    sigmas = np.repeat(
+        np.sqrt(np.power(10.0, -np.asarray(snrs_db, np.float64) / 10.0)
+                / 2.0), n_trials).astype(np.float32)
+    sigp = (jnp.asarray(sig.real.astype(np.float32)),
+            jnp.asarray(sig.imag.astype(np.float32)))
+    buffers = _noisy_buffers(sigp, jnp.asarray(sigmas),
+                             jax.random.PRNGKey(seed))
 
     n_steps = total // trig.HALF_FRAME_LENGTH
     final, out = channel_scan(buffers, n_steps,

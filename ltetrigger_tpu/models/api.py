@@ -329,7 +329,16 @@ class Trigger:
 
     def _dispatch_one(self, published: list[Cell]) -> bool:
         """Dispatch one adaptive-depth scan if the buffer (estimated) holds
-        enough samples; harvest eagerly when over pipeline depth."""
+        enough samples; harvest eagerly when over pipeline depth.
+
+        Backpressure rule: when the pipeline is full and the oldest output
+        is not ready yet, do NOT dispatch (and do not block on the drain) —
+        let the input accumulate so the NEXT dispatch covers more steps.
+        Blocking here serialized one ~25 ms drain round-trip per 4-step
+        dispatch and capped streaming at ~1.1 Msps; accumulating converges
+        to deep (32-step) dispatches whose drains overlap compute."""
+        if len(self._outstanding) > self.pipeline and not self._ready_head():
+            return False
         nbuf = len(self._buf)
         headroom = ((self._base + nbuf)
                     - (self._estimated_min_pos() + WINDOW - LOOKBACK))
@@ -381,11 +390,11 @@ class Trigger:
             return True
 
     def _harvest(self, published: list[Cell], force: bool) -> None:
-        """Drain outstanding outputs: always down to pipeline depth, plus
-        any that are already ready; everything when force=True."""
+        """Drain outstanding outputs that are ready (all of them when
+        force=True).  Never blocks on an unready output unless forced —
+        depth is bounded by _dispatch_one's backpressure rule instead."""
         while self._outstanding:
-            over = len(self._outstanding) > self.pipeline
-            if not (force or over or self._ready_head()):
+            if not (force or self._ready_head()):
                 break
             out, n_steps = self._outstanding.popleft()
             with self.timer.stage("drain"):

@@ -95,7 +95,10 @@ LOOKBACK = PSS_SYMBOL_START             # 832 samples of history before grid0
 # LOOKBACK beyond the last active grid position.
 WINDOW = LOOKBACK + correlate.V2_WINDOW                # 10560
 K_CANDIDATES = 16                       # MIB candidate slots per root
-GROUP_BUDGET = 4096                     # max batch*G steps per pass-A matmul
+# max batch*G steps per pass-A matmul group (bounds the materialized power
+# tensor to ~GROUP_BUDGET * 115 KB); raising it amortizes pass B better at
+# high channel counts at the cost of HBM headroom
+GROUP_BUDGET = int(os.environ.get("LTETRIGGER_GROUP_BUDGET", "4096"))
 SEG = 640                               # slot-0 tail gathered per step: holds
 SEG_OFF = SLOT_LENGTH - SEG             #   CP-detect ([352,960)), SSS, PSS sym
 
