@@ -47,6 +47,36 @@ def _scan_jit(buffer, state, psr_threshold, n_valid, n_steps,
     return state, trig.pack_output(out)
 
 
+@jax.jit
+def _mirror_advance(dev_r, dev_i, up_r, up_i, scale, shift, write_off):
+    """Slide the device stream mirror down by `shift` samples and write the
+    newly uploaded segment at `write_off` (mirror coordinates).  The only
+    host->device traffic of a steady-state streaming dispatch is `up_*` —
+    the new samples themselves, possibly int-quantized (dequantized here by
+    `scale`; the mirror itself is always float32)."""
+    def one(d, u):
+        ext = jnp.concatenate([d, jnp.zeros_like(d)])
+        d2 = jax.lax.dynamic_slice(ext, (shift,), (d.shape[0],))
+        return jax.lax.dynamic_update_slice(
+            d2, u.astype(jnp.float32) * scale, (write_off,))
+
+    return one(dev_r, up_r), one(dev_i, up_i)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "track_after",
+                                             "track_every"))
+def _stream_scan_jit(buffer, state, psr_threshold, n_valid, base, n_steps,
+                     track_after, track_every):
+    """The streaming Trigger's dispatch: module-level so every Trigger
+    instance shares one compile cache (a per-instance closure re-traced
+    each shape for each instance — fatal on a host where one compile costs
+    ~10 s)."""
+    st = state._replace(pos=state.pos - base)
+    st, out = trig.scan_engine(buffer, st, n_steps, psr_threshold,
+                               track_after, track_every, n_valid=n_valid)
+    return st._replace(pos=st.pos + base), trig.pack_output(out)
+
+
 def _prepare_buffer(iq: np.ndarray, sample_rate: float,
                     repeat_to: Optional[int] = None) -> jnp.ndarray:
     """Resample to 1.92 Msps on device, loop to `repeat_to` samples, pad.
@@ -210,7 +240,15 @@ class Trigger:
                  cellstore: Optional[CellStore] = None,
                  on_track: Optional[Callable[[Cell], None]] = None,
                  on_drop: Optional[Callable[[int], None]] = None,
-                 pipeline: int = 2):
+                 pipeline: int = 2, transport: str = "i16"):
+        assert transport in ("f32", "i16", "i8"), transport
+        # host->device sample encoding: "i16" (default) quantizes each
+        # uploaded segment to int16 with a per-segment scale (~84 dB SNR
+        # after LTE's ~10 dB PAPR — far beyond the 8-bit ADC of the
+        # reference's own RTL-SDR front end) and halves tunnel transport vs
+        # float32 pairs; "i8" quarters it (~36 dB, still 26 dB above the
+        # detection knee); "f32" is bit-exact.
+        self.transport = transport
         self.psr_threshold = ensure_safe_threshold(psr_threshold)
         self.exit_on_success = exit_on_success
         self.track_after = track_after
@@ -241,17 +279,23 @@ class Trigger:
         # when the backlog is deep (32 sub0 captures == 2x K slots never
         # overflows: sub0 tags alternate with sub5 on real frames)
         self._step_buckets = (4, 8, 16, 32)
-        # buffer lengths are padded up to multiples of this so the jitted
-        # scan sees a handful of static shapes instead of one per call
-        self._bucket = 16 * HALF_FRAME_LENGTH
+        # device-resident stream mirror: a fixed-capacity window pair on
+        # device, advanced by _mirror_advance so each dispatch uploads ONLY
+        # the new samples (re-uploading the whole padded window per
+        # dispatch amplified tunnel transport ~4x and left streaming
+        # transport-bound).  One static scan shape instead of a bucket
+        # ladder.  Invariant: the mirror covers [pos_lb.min() - LOOKBACK,
+        # dev_base + dev_len) of the stream.
+        self._cap = trig.LOOKBACK + 256 * HALF_FRAME_LENGTH + trig.WINDOW
+        self._quantum = 8 * HALF_FRAME_LENGTH   # upload-size granularity
+        self._dev = None          # device pair [cap]
+        self._dev_base = 0        # stream index of _dev[0]
+        self._dev_len = 0         # valid samples in the mirror
 
-        @functools.partial(jax.jit, static_argnames=("n_steps",))
         def _scan(buffer, state, thresh, n_valid, base, n_steps):
-            st = state._replace(pos=state.pos - base)
-            st, out = trig.scan_engine(buffer, st, n_steps, thresh,
-                                       track_after, track_every,
-                                       n_valid=n_valid)
-            return st._replace(pos=st.pos + base), trig.pack_output(out)
+            return _stream_scan_jit(buffer, state, thresh, n_valid, base,
+                                    n_steps, self.track_after,
+                                    self.track_every)
 
         self._scan = _scan
 
@@ -332,13 +376,13 @@ class Trigger:
         enough samples; harvest eagerly when over pipeline depth.
 
         Backpressure rule: when the pipeline is full and the oldest output
-        is not ready yet, do NOT dispatch (and do not block on the drain) —
-        let the input accumulate so the NEXT dispatch covers more steps.
-        Blocking here serialized one ~25 ms drain round-trip per 4-step
-        dispatch and capped streaming at ~1.1 Msps; accumulating converges
-        to deep (32-step) dispatches whose drains overlap compute."""
-        if len(self._outstanding) > self.pipeline and not self._ready_head():
-            return False
+        is not ready yet, dispatch only at the MAXIMUM scan depth — shallow
+        dispatches wait for more input instead.  (Blocking on every drain
+        serialized one ~25 ms round-trip per 4-step dispatch and capped
+        streaming at ~1.1 Msps; deferring ALL dispatches to flush() grew
+        the buffer through a parade of padded shapes — a recompile storm.
+        Bounded accumulation converges to deep dispatches with at most
+        pipeline+3 in flight and a handful of static shapes.)"""
         nbuf = len(self._buf)
         headroom = ((self._base + nbuf)
                     - (self._estimated_min_pos() + WINDOW - LOOKBACK))
@@ -349,6 +393,10 @@ class Trigger:
         for b in self._step_buckets:
             if b <= steps_avail:
                 n_steps = b
+        if len(self._outstanding) > self.pipeline and not self._ready_head():
+            if (n_steps < self._step_buckets[-1]
+                    or len(self._outstanding) > self.pipeline + 2):
+                return False
 
         with self.timer.stage("prep"):
             # discard samples below every root's drained position
@@ -357,19 +405,15 @@ class Trigger:
                 self._buf = self._buf[keep_from:]
                 self._base += keep_from
                 nbuf = len(self._buf)
-            # pad to a shape bucket: a fresh buffer length every call
-            # would retrace/recompile the scan each time (measured: the
-            # streaming driver ran 1000x slower than the scan itself)
-            cap = max(WINDOW, -(-nbuf // self._bucket) * self._bucket)
-            buf = self._buf
-            if cap > nbuf:
-                buf = np.concatenate([buf, np.zeros(cap - nbuf, np.complex64)])
-            bpair = (jnp.asarray(buf.real.astype(np.float32)),
-                     jnp.asarray(buf.imag.astype(np.float32)))
+            # sync the device mirror up to what this dispatch can reach
+            # (not the whole host backlog — it may exceed the mirror)
+            hi_need = (self._estimated_min_pos()
+                       + n_steps * HALF_FRAME_LENGTH + WINDOW)
+            self._sync_device_window(min(self._base + nbuf, hi_need))
         with self.timer.stage("scan"):
             self._state, out = self._scan(
-                bpair, self._state, jnp.float32(self.psr_threshold),
-                jnp.int32(nbuf), jnp.int32(self._base), n_steps)
+                self._dev, self._state, jnp.float32(self.psr_threshold),
+                jnp.int32(self._dev_len), jnp.int32(self._dev_base), n_steps)
             try:
                 out.copy_to_host_async()
             except AttributeError:      # backend without async copy
@@ -379,6 +423,56 @@ class Trigger:
         if len(self._outstanding) > self.pipeline:
             self._harvest(published, force=False)
         return True
+
+    def _sync_device_window(self, hi: int) -> None:
+        """Bring the device mirror to cover stream samples [lo, hi), where
+        lo = min drained position - LOOKBACK, uploading only what the
+        mirror lacks (quantum-padded so the advance kernel sees a handful
+        of static shapes)."""
+        lo = int(self._pos_lb.min()) - LOOKBACK
+        if self._dev is None or lo >= self._dev_base + self._dev_len:
+            self._dev = (jnp.zeros(self._cap, jnp.float32),
+                         jnp.zeros(self._cap, jnp.float32))
+            self._dev_base = lo
+            self._dev_len = 0
+        shift = 0
+        if hi - self._dev_base > self._cap - self._quantum:
+            shift = lo - self._dev_base
+        new_base = self._dev_base + shift
+        assert hi - new_base <= self._cap - self._quantum, (
+            f"stream mirror overflow: window [{lo}, {hi}) exceeds capacity "
+            f"{self._cap} — backlog not bounded by backpressure?")
+        have_end = self._dev_base + self._dev_len
+        new = hi - have_end
+        if new <= 0 and shift == 0:
+            return
+        np_dt = {"f32": np.float32, "i16": np.int16, "i8": np.int8}
+        dt = np_dt[self.transport]
+        lim = {"f32": 1.0, "i16": 32767.0, "i8": 127.0}[self.transport]
+        scale = 1.0
+        if new > 0:
+            seg = self._buf[have_end - self._base:hi - self._base]
+            pad = -(-len(seg) // self._quantum) * self._quantum - len(seg)
+            re = np.ascontiguousarray(seg.real)
+            im = np.ascontiguousarray(seg.imag)
+            if self.transport != "f32":
+                peak = max(float(np.max(np.abs(re), initial=0.0)),
+                           float(np.max(np.abs(im), initial=0.0)), 1e-30)
+                re = np.round(re * (lim / peak)).astype(dt)
+                im = np.round(im * (lim / peak)).astype(dt)
+                scale = peak / lim
+            up_r = np.concatenate([re, np.zeros(pad, dt)])
+            up_i = np.concatenate([im, np.zeros(pad, dt)])
+        else:
+            up_r = np.zeros(self._quantum, dt)
+            up_i = up_r
+            have_end = hi            # write the dummy beyond the valid end
+        self._dev = _mirror_advance(self._dev[0], self._dev[1],
+                                    jnp.asarray(up_r), jnp.asarray(up_i),
+                                    jnp.float32(scale), jnp.int32(shift),
+                                    jnp.int32(have_end - new_base))
+        self._dev_base = new_base
+        self._dev_len = hi - new_base
 
     def _ready_head(self) -> bool:
         if not self._outstanding:
@@ -392,7 +486,29 @@ class Trigger:
     def _harvest(self, published: list[Cell], force: bool) -> None:
         """Drain outstanding outputs that are ready (all of them when
         force=True).  Never blocks on an unready output unless forced —
-        depth is bounded by _dispatch_one's backpressure rule instead."""
+        depth is bounded by _dispatch_one's backpressure rule instead.
+
+        A forced drain of several outputs concatenates them ON DEVICE and
+        fetches once: each separate fetch pays the tunnel's full round trip
+        (~25-55 ms), which made flush() scale with the number of pending
+        dispatches instead of the number of bytes."""
+        if force and len(self._outstanding) > 1:
+            pairs = list(self._outstanding)
+            self._outstanding.clear()
+            with self.timer.stage("drain"):
+                cat = np.asarray(jnp.concatenate([o for o, _ in pairs],
+                                                 axis=0))
+            off = 0
+            for _out, n_steps in pairs:
+                host = trig.unpack_output(cat[off:off + n_steps])
+                off += n_steps
+                self._disp_steps -= n_steps
+                self._pos_lb += host.consumed.sum(axis=0).astype(np.int64)
+                self._apply_events(host, published)
+                if self.done:
+                    self._disp_steps = 0
+                    return
+            return
         while self._outstanding:
             if not (force or self._ready_head()):
                 break
@@ -437,6 +553,7 @@ class Trigger:
         delta = 2 ** 29
         self._base -= delta
         self._pos_lb -= delta
+        self._dev_base -= delta
         self._state = self._state._replace(
             pos=self._state.pos - jnp.int32(delta))
 
@@ -461,6 +578,8 @@ class Trigger:
         self._pos_lb = np.asarray(data["state_pos"]).astype(np.int64)
         self._outstanding.clear()
         self._disp_steps = 0
+        self._dev = None            # mirror re-syncs lazily from _buf
+        self._dev_len = 0
         self._buf = data["buf"]
         self._base = int(data["base"])
         self.psr_threshold = float(data["psr_threshold"])

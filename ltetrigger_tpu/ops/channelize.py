@@ -74,10 +74,12 @@ def _mix_decimate(xpad: cplx.Pair, start, origins, ramps, ratio: int):
     return resample.decimate(shifted, ratio)
 
 
-def channelize(x: np.ndarray, sample_rate: float,
-               center_offsets_hz) -> cplx.Pair:
-    """complex64 [N] wideband -> pair of [C, ~N/ratio] float32 at 1.92 Msps.
+def channelize(x, sample_rate: float, center_offsets_hz) -> cplx.Pair:
+    """Wideband stream -> pair of [C, ~N/ratio] float32 at 1.92 Msps.
 
+    x: complex64 [N] numpy array, or an already-device-resident (re, im)
+    pair (skips the host upload — e.g. a stream that arrived by RDMA or a
+    bench that amortizes one upload over many runs).
     center_offsets_hz: frequencies (relative to the capture center) to
     down-convert; each becomes a channel.  sample_rate must be an integer
     multiple of 1.92 MHz.
@@ -88,11 +90,13 @@ def channelize(x: np.ndarray, sample_rate: float,
     ratio = int(round(ratio))
 
     offs = np.asarray(list(center_offsets_hz), dtype=np.float64) / sample_rate
-    n = x.size
+    if isinstance(x, tuple):
+        xp = x
+    else:
+        xp = cplx.from_numpy(np.ascontiguousarray(x))
+    n = int(xp[0].shape[-1])
     chunk = CHUNK_BLOCKS * BLOCK
     n_up = -(-n // chunk) * chunk                  # pad tail to whole chunks
-
-    xp = cplx.from_numpy(np.ascontiguousarray(x))
     z = jnp.zeros((BLOCK,), jnp.float32)
     zt = jnp.zeros((BLOCK + (n_up - n),), jnp.float32)
     xpad = (jnp.concatenate([z, xp[0], zt]), jnp.concatenate([z, xp[1], zt]))

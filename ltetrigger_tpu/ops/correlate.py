@@ -237,8 +237,12 @@ def pss_correlate_power_diag(window: cplx.Pair,
 
 import os as _os  # noqa: E402
 
-# Shipped default for the hot path; override with LTETRIGGER_CORRELATOR in
-# {"fast", "v2", "v1"} (golden tests pin explicit impls).
+# LTETRIGGER_CORRELATOR semantics since the round-3 grid engine: the hot
+# path (models/trigger pass A) always uses the blocked-Toeplitz formulation
+# and honours the env var as a PRECISION toggle ("fast" = bf16 matmul
+# inputs, shipped default; anything else = f32).  The conv formulation
+# ("v1") remains the independent cross-check used by the golden tests and
+# by these standalone entry points.
 _IMPLS = {"fast": pss_correlate_power_fast,
           "v2": pss_correlate_power_v2,
           "v1": pss_correlate_power}
@@ -247,10 +251,12 @@ default_power = _IMPLS[_os.environ.get("LTETRIGGER_CORRELATOR", "fast")]
 
 def default_power_diag(window: cplx.Pair) -> jnp.ndarray:
     """Per-root correlator honoring LTETRIGGER_CORRELATOR like
-    `default_power`: "fast" -> bf16 blocked-Toeplitz diag (shipped default),
-    "v2" -> f32 blocked-Toeplitz diag, "v1" -> the conv formulation (each
-    lane correlated against all roots, diagonal taken — 3x the work, kept
-    as the independent cross-check implementation).
+    `default_power`: "fast" -> bf16 blocked-Toeplitz diag, "v2" -> f32
+    blocked-Toeplitz diag, "v1" -> the conv formulation (each lane
+    correlated against all roots, diagonal taken).  Round 2's trigger hot
+    path; the round-3 grid engine correlates one shared window per step
+    instead (see models/trigger._group_power), so this survives for
+    cross-checks and external callers.
 
     window: pair of [..., 3, >= V2_WINDOW]; returns [..., 3, SEARCH_LEN].
     """

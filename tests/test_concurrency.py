@@ -80,7 +80,9 @@ def test_parallel_triggers_one_store():
 
     def worker():
         t = api.Trigger(psr_threshold=4, cellstore=store)
-        results.append(t.process(sig))
+        # pipelined event delivery: flush() forces pending events out
+        # (class docstring contract)
+        results.append(t.process(sig) + t.flush())
 
     threads = [threading.Thread(target=worker) for _ in range(2)]
     for t in threads:
