@@ -99,8 +99,12 @@ K_CANDIDATES = 16                       # MIB candidate slots per root
 # tensor to ~GROUP_BUDGET * 115 KB); raising it amortizes pass B better at
 # high channel counts at the cost of HBM headroom
 GROUP_BUDGET = int(os.environ.get("LTETRIGGER_GROUP_BUDGET", "4096"))
-SEG = 640                               # slot-0 tail gathered per step: holds
-SEG_OFF = SLOT_LENGTH - SEG             #   CP-detect ([352,960)), SSS, PSS sym
+# slot-0 tail gathered per step: must hold every CP-detect / SSS / PSS-sym
+# read.  Lowest relative read is extended-CP detect at slot_length - 480
+# (two symbol+CP hops below the PSS, ops/sync.py::detect_cp), so 512
+# samples with 32 of margin suffice — and 512 = 4 VPU lanes exactly.
+SEG = 512
+SEG_OFF = SLOT_LENGTH - SEG
 
 
 class TriggerState(NamedTuple):
@@ -428,6 +432,60 @@ def _gather_cands(buffer: cplx.Pair, starts, length: int) -> cplx.Pair:
             _gather_rows(buffer[1], starts, length))
 
 
+def _ring_series(ring0, count0, est, push, lost):
+    """Closed-form telemetry-ring recurrence over the step axis (exact
+    parity with per-step reset-then-push semantics).  Possible without a
+    sequential scan because one dispatch pushes at most n_steps <=
+    MOVING_AVG_SZ values, so two in-dispatch pushes can never collide on a
+    ring slot.
+
+    ring0 [.., R, 200], count0 [.., R]; est/push/lost [S, .., R].
+    returns (ring_final, count_final, mean_per_step [S, .., R]).
+    """
+    s = est.shape[0]
+    assert s <= MOVING_AVG_SZ, (
+        f"{s} steps > ring size {MOVING_AVG_SZ}: slot-collision closed form "
+        "does not hold; split the dispatch")
+    tt = jnp.arange(s, dtype=jnp.int32).reshape(
+        (s,) + (1,) * (est.ndim - 1))
+    last_reset = jax.lax.cummax(jnp.where(lost, tt, -1), axis=0)  # incl.
+    pcum = jnp.cumsum(push.astype(jnp.int32), axis=0)             # incl.
+    pcum_at_reset = jnp.take_along_axis(pcum, jnp.maximum(last_reset, 0),
+                                        axis=0)
+    # lost steps never push (tracking is false there), so pcum at the reset
+    # index equals the pushes strictly before it
+    seg_pushes = jnp.where(last_reset >= 0, pcum - pcum_at_reset, pcum)
+    count_after = seg_pushes + jnp.where(last_reset >= 0, 0, count0[None])
+    count_before = count_after - push.astype(jnp.int32)
+    slot = jnp.mod(count_before, MOVING_AVG_SZ)
+    # an eviction replaces a value from the INCOMING ring (in-dispatch
+    # collisions are impossible; after a reset the ring is zeros)
+    evict = (last_reset < 0) & (count_before >= MOVING_AVG_SZ)
+    ring0_at = jnp.take_along_axis(
+        jnp.broadcast_to(ring0[None], (s,) + ring0.shape),
+        slot[..., None], axis=-1)[..., 0]
+    contrib = jnp.where(push, est - jnp.where(evict, ring0_at, 0.0), 0.0)
+    ccum = jnp.cumsum(contrib, axis=0)
+    ccum_at_reset = jnp.take_along_axis(ccum, jnp.maximum(last_reset, 0),
+                                        axis=0)
+    sum0 = jnp.sum(ring0, axis=-1)
+    sum_after = jnp.where(last_reset >= 0, ccum - ccum_at_reset,
+                          ccum + sum0[None])
+    n_eff = jnp.minimum(count_after, MOVING_AVG_SZ)
+    mean = jnp.where(n_eff > 0, sum_after / jnp.maximum(n_eff, 1), 0.0)
+
+    final_reset = last_reset[-1]
+    live = push & (tt > final_reset)
+    onehot = (slot[..., None] == jnp.arange(MOVING_AVG_SZ,
+                                            dtype=jnp.int32)) \
+        & live[..., None]
+    pushed_any = jnp.any(onehot, axis=0)
+    pushed_val = jnp.sum(onehot.astype(jnp.float32) * est[..., None], axis=0)
+    base = jnp.where((final_reset >= 0)[..., None], 0.0, ring0)
+    ring_f = jnp.where(pushed_any, pushed_val, base)
+    return ring_f, count_after[-1], mean
+
+
 def _capture_chain(state0: TriggerState, raw: RawStepOutput, sss_valid,
                    sub5, cell_id, k: int):
     """Per-step capture selection (reference mib tag gating + the in-scan
@@ -455,19 +513,35 @@ def _capture_chain(state0: TriggerState, raw: RawStepOutput, sss_valid,
     overflow = jnp.sum((want_any & (~want_cap)).astype(jnp.int32), axis=0)
     cnt = jnp.sum(want_cap.astype(jnp.int32), axis=0)
 
-    # (pending_fresh, mib_cell) chain: capture sets cell & clears pf; loss
-    # sets pf.  Sequential over S but on [.., R] scalars only.
-    def chain(carry, xs):
-        pf, cell = carry
-        cap_t, lost_t, cid_t = xs
-        fresh_t = pf | (cid_t != cell)
-        cell2 = jnp.where(cap_t, cid_t, cell)
-        pf2 = jnp.where(cap_t, False, pf) | lost_t
-        return (pf2, cell2), fresh_t
-
-    (pf_f, cell_f), fresh = jax.lax.scan(
-        chain, (state0.pending_fresh, state0.mib_cell),
-        (want_cap, raw.lost, cell_id))
+    # (pending_fresh, mib_cell) chain, closed form over the step axis: a
+    # capture sets cell & clears pf, a loss sets pf (mutually exclusive per
+    # step — losses are never tagged), so before-step values follow from
+    # the most recent prior event of each kind.  No sequential scan (each
+    # tiny scan step costs a full dispatch slot on TPU; S of them were
+    # ~30 ms per postpass at the bench shape).
+    s = want_cap.shape[0]
+    tt = jnp.arange(s, dtype=jnp.int32).reshape(
+        (s,) + (1,) * (want_cap.ndim - 1))
+    cap_idx = jnp.where(want_cap, tt, -1)
+    lost_idx = jnp.where(raw.lost, tt, -1)
+    last_cap = jax.lax.cummax(cap_idx, axis=0)
+    last_lost = jax.lax.cummax(lost_idx, axis=0)
+    neg1 = jnp.full_like(last_cap[:1], -1)
+    last_cap_x = jnp.concatenate([neg1, last_cap[:-1]], axis=0)
+    last_lost_x = jnp.concatenate([neg1, last_lost[:-1]], axis=0)
+    cell_at = jnp.take_along_axis(cell_id, jnp.maximum(last_cap_x, 0), axis=0)
+    cell_before = jnp.where(last_cap_x >= 0, cell_at, state0.mib_cell[None])
+    pf_before = jnp.where((last_cap_x < 0) & (last_lost_x < 0),
+                          state0.pending_fresh[None],
+                          last_lost_x > last_cap_x)
+    fresh = pf_before | (cell_id != cell_before)
+    cell_f = jnp.where(
+        last_cap[-1] >= 0,
+        jnp.take_along_axis(cell_id, jnp.maximum(last_cap[-1:], 0),
+                            axis=0)[0],
+        state0.mib_cell)
+    pf_f = jnp.where((last_cap[-1] < 0) & (last_lost[-1] < 0),
+                     state0.pending_fresh, last_lost[-1] > last_cap[-1])
     return (want_cap, slot, fresh, cnt, cell_f, pf_f,
             p_live_after[-1], overflow)
 
@@ -577,20 +651,24 @@ def _mib_postpass(state0: TriggerState, final: TriggerState,
         pss_sym = cplx.index(seg, (..., slice(SEG - SYMBOL_SZ, SEG)))
         est = cfo_ops.cfo_estimate(pss_sym, reps)       # [S, .., R]
 
-        def ring_step(carry, xs):
-            ring, count = carry
-            est_t, push_t, lost_t = xs
-            ring = jnp.where(lost_t[..., None], 0.0, ring)
-            count = jnp.where(lost_t, 0, count)
-            ring = jnp.where(push_t[..., None],
-                             _ring_push(ring, count, est_t), ring)
-            count = count + push_t.astype(jnp.int32)
-            return (ring, count), _ring_mean(ring, count)
-
         push = raw.emit & raw.tracking
-        (ring_f, count_f), cfo_mean = jax.lax.scan(
-            ring_step, (state0.cfo_ring, state0.cfo_count),
-            (est, push, raw.lost))
+        if s <= MOVING_AVG_SZ:
+            ring_f, count_f, cfo_mean = _ring_series(
+                state0.cfo_ring, state0.cfo_count, est, push, raw.lost)
+        else:           # dispatches longer than the ring: sequential parity
+            def ring_step(carry, xs):
+                ring, count = carry
+                est_t, push_t, lost_t = xs
+                ring = jnp.where(lost_t[..., None], 0.0, ring)
+                count = jnp.where(lost_t, 0, count)
+                ring = jnp.where(push_t[..., None],
+                                 _ring_push(ring, count, est_t), ring)
+                count = count + push_t.astype(jnp.int32)
+                return (ring, count), _ring_mean(ring, count)
+
+            (ring_f, count_f), cfo_mean = jax.lax.scan(
+                ring_step, (state0.cfo_ring, state0.cfo_count),
+                (est, push, raw.lost))
 
         # ---- rotate, CP detect, SSS (reference sss block, sss_impl.cc) ----
         freq = jnp.where(raw.tracking, -cfo_mean / SYMBOL_SZ, 0.0)

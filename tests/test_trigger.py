@@ -211,6 +211,47 @@ def test_capture_overflow_defers_not_loses():
     assert int(out2.cell_id[steps[0], roots[0]]) == cell_id
 
 
+def test_ring_series_matches_sequential():
+    """The postpass's closed-form telemetry-ring recurrence (_ring_series)
+    must match the per-step reset-then-push semantics exactly, including
+    wrap-around evictions of incoming-ring values and mid-sequence
+    resets."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    S, C, R = 100, 2, 3
+    for _trial in range(2):
+        count0_np = rng.integers(0, 500, size=(C, R))
+        ring0 = rng.normal(size=(C, R, 200)).astype(np.float32)
+        idx = np.arange(200)
+        ring0 *= idx[None, None, :] < np.minimum(count0_np[..., None], 200)
+        ring0 = jnp.asarray(ring0)
+        count0 = jnp.asarray(count0_np, jnp.int32)
+        est = jnp.asarray(rng.normal(size=(S, C, R)).astype(np.float32))
+        push_np = rng.random((S, C, R)) < 0.6
+        lost = jnp.asarray((rng.random((S, C, R)) < 0.1) & ~push_np)
+        push = jnp.asarray(push_np)
+
+        rf1, cf1, m1 = trig._ring_series(ring0, count0, est, push, lost)
+
+        def ring_step(carry, xs):
+            ring, count = carry
+            est_t, push_t, lost_t = xs
+            ring = jnp.where(lost_t[..., None], 0.0, ring)
+            count = jnp.where(lost_t, 0, count)
+            ring = jnp.where(push_t[..., None],
+                             trig._ring_push(ring, count, est_t), ring)
+            count = count + push_t.astype(jnp.int32)
+            return (ring, count), trig._ring_mean(ring, count)
+
+        (rf2, cf2), m2 = jax.lax.scan(ring_step, (ring0, count0),
+                                      (est, push, lost))
+        np.testing.assert_allclose(np.asarray(rf1), np.asarray(rf2),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(cf1), np.asarray(cf2))
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
+
+
 def test_checkpoint_resume(tmp_path):
     """Streaming state survives a save/load cycle mid-acquisition."""
     iq, cell_id, _ = load_frame(6)
