@@ -220,6 +220,12 @@ class Trigger:
     drop events flow into the attached CellStore.  Telemetry properties
     mirror the pss block query API polled by the reference's GRC demos.
 
+    NOTE on transport (changed in round 3): host->device sample transport
+    defaults to per-segment int16 quantization ("i16", ~84 dB SNR; results
+    can differ in the last bits from a float32 run and depend mildly on
+    chunking via the per-segment scale).  Construct with transport="f32"
+    for bit-exact streaming at roughly half the tunnel throughput.
+
     Event delivery is ASYNCHRONOUS by default (`pipeline=2`): scans are
     dispatched ahead and their outputs drained when ready, so the ~25 ms
     device->host round trip of this runtime overlaps the next dispatch
@@ -276,8 +282,8 @@ class Trigger:
         self._outstanding: deque = deque()
         self._disp_steps = 0
         # adaptive scan depth: one dispatch covers up to 32 half-frame steps
-        # when the backlog is deep (32 sub0 captures == 2x K slots never
-        # overflows: sub0 tags alternate with sub5 on real frames)
+        # when the backlog is deep (dispatches <= K_STEP_CAP steps get one
+        # capture slot per step, so capture overflow cannot occur here)
         self._step_buckets = (4, 8, 16, 32)
         # device-resident stream mirror: a fixed-capacity window pair on
         # device, advanced by _mirror_advance so each dispatch uploads ONLY
@@ -285,8 +291,12 @@ class Trigger:
         # dispatch amplified tunnel transport ~4x and left streaming
         # transport-bound).  One static scan shape instead of a bucket
         # ladder.  Invariant: the mirror covers [pos_lb.min() - LOOKBACK,
-        # dev_base + dev_len) of the stream.
-        self._cap = trig.LOOKBACK + 256 * HALF_FRAME_LENGTH + trig.WINDOW
+        # dev_base + dev_len) of the stream.  Capacity scales with the
+        # user-settable pipeline depth: up to (pipeline+4)*32 steps can be
+        # in flight under the backpressure rule, each holding a half-frame
+        # (ADVICE r3: the fixed 256 overflowed at pipeline >= ~6).
+        cap_hf = max(256, (self.pipeline + 4) * 32 + 16)
+        self._cap = trig.LOOKBACK + cap_hf * HALF_FRAME_LENGTH + trig.WINDOW
         self._quantum = 8 * HALF_FRAME_LENGTH   # upload-size granularity
         self._dev = None          # device pair [cap]
         self._dev_base = 0        # stream index of _dev[0]

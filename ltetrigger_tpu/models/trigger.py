@@ -60,10 +60,18 @@ Faithful semantics (reference lib/pss_impl.cc:154-223, SURVEY §2.3):
   re-aligning formulation; only the internal stream coordinates differ (the
   host drivers see a constant consumption of 9600 samples per active step).
 
-Capture-capacity note: a scan of n_steps can capture at most K candidates
-per root (default 16) per dispatch.  Overflowing captures are counted in
-TriggerState.cap_overflow and retried next dispatch (deferral, never loss —
-tests/test_trigger.py::test_capture_overflow_defers_not_loses).
+Capture-capacity note: dispatches of up to K_STEP_CAP (32) steps allocate
+one MIB capture slot PER STEP, so in-dispatch overflow is impossible there —
+this covers every host-driver path (search chunks, streaming step buckets),
+so a >16-capture burst followed by silence still decodes and publishes
+(tests/test_trigger.py::test_capture_overflow_defers_not_loses).  Longer
+offline dispatches (channel_scan with n_steps > 32) bound the decode batch
+at K_CANDIDATES slots; captures beyond that are counted in
+TriggerState.cap_overflow and only re-decode if the stream presents further
+candidates (an offline capture can simply be re-scanned; live streams never
+take this path).  A capture whose slot-1 read would cross n_valid (the last
+~1 slot of a clipped streaming buffer) is likewise deferred and counted —
+never gathered misaligned (see `gatherable` in _capture_chain).
 
 All three N_id_2 hypotheses are a trailing [R] axis; multi-channel batches
 are leading axes — every function here is rank-polymorphic, so the
@@ -94,7 +102,13 @@ LOOKBACK = PSS_SYMBOL_START             # 832 samples of history before grid0
 # buffer must hold >= LOOKBACK samples (or zeros) before grid0 and WINDOW -
 # LOOKBACK beyond the last active grid position.
 WINDOW = LOOKBACK + correlate.V2_WINDOW                # 10560
-K_CANDIDATES = 16                       # MIB candidate slots per root
+K_CANDIDATES = 16                       # MIB candidate slots (long dispatches)
+# dispatches up to this many steps get ONE capture slot PER STEP, so
+# in-dispatch capture overflow is structurally impossible there (a step
+# produces at most one candidate).  Every host-driver path (search chunks,
+# streaming step buckets) stays <= this; only long offline channel_scan
+# dispatches fall back to K_CANDIDATES slots with counted deferral.
+K_STEP_CAP = 32
 # max batch*G steps per pass-A matmul group (bounds the materialized power
 # tensor to ~GROUP_BUDGET * 115 KB); raising it amortizes pass B better at
 # high channel counts at the cost of HBM headroom
@@ -487,12 +501,14 @@ def _ring_series(ring0, count0, est, push, lost):
 
 
 def _capture_chain(state0: TriggerState, raw: RawStepOutput, sss_valid,
-                   sub5, cell_id, k: int):
+                   sub5, cell_id, gatherable, k: int):
     """Per-step capture selection (reference mib tag gating + the in-scan
     published_live reacquisition semantics, lib/mib_impl.cc:109-135).
 
-    All inputs [S, ..., R]; returns per-step (want_cap, slot, fresh) plus
-    final (cnt, mib_cell, pending_fresh, p_live, overflow)."""
+    All inputs [S, ..., R]; `gatherable` gates candidates whose slot-1 read
+    would cross n_valid (deferred + counted, never gathered misaligned).
+    Returns per-step (want_cap, slot, fresh) plus final (cnt, mib_cell,
+    pending_fresh, p_live, overflow)."""
     tagged = raw.emit & (~raw.lost) & sss_valid
 
     # published_live: starts at `published`, cleared by any in-chunk loss
@@ -506,9 +522,10 @@ def _capture_chain(state0: TriggerState, raw: RawStepOutput, sss_valid,
     p_gate = p_live_before & (~raw.lost)
 
     want_any = tagged & (~p_gate) & (~sub5)
-    cum_excl = jnp.cumsum(want_any.astype(jnp.int32), axis=0) \
-        - want_any.astype(jnp.int32)
-    want_cap = want_any & (cum_excl < k)
+    eligible = want_any & gatherable
+    cum_excl = jnp.cumsum(eligible.astype(jnp.int32), axis=0) \
+        - eligible.astype(jnp.int32)
+    want_cap = eligible & (cum_excl < k)
     slot = jnp.where(want_cap, cum_excl, -1)
     overflow = jnp.sum((want_any & (~want_cap)).astype(jnp.int32), axis=0)
     cnt = jnp.sum(want_cap.astype(jnp.int32), axis=0)
@@ -610,8 +627,17 @@ def _decode_candidates(state0: TriggerState, buffer: cplx.Pair,
 
 def _mib_postpass(state0: TriggerState, final: TriggerState,
                   raw: RawStepOutput, buffer: cplx.Pair,
+                  data_valid=None, k: int | None = None,
                   combine: bool = True, do_extract=None, do_decode=None):
     """Pass C.  Returns (final_state, StepOutput stacked [n_steps, ...]).
+
+    data_valid: logical end of DATA (scalar or [batch, 1]-broadcastable); a
+    candidate whose slot-1 read would cross it is deferred (counted in
+    cap_overflow), never gathered misaligned.  Default: buffer length.
+    (Distinct from scan_pass's n_valid, which bounds step OWNERSHIP — a
+    time shard owns fewer steps than its halo'd buffer holds data for.)
+    k: MIB capture slots (default: one per step up to K_STEP_CAP, then
+    K_CANDIDATES — see module docstring).
 
     combine=False forces every candidate to restart the TTI accumulator —
     stateless single-subframe decoding, kept for sensitivity A/B
@@ -625,7 +651,11 @@ def _mib_postpass(state0: TriggerState, final: TriggerState,
     everything below pass B.
     """
     s = raw.psr.shape[0]
-    k = K_CANDIDATES
+    if k is None:
+        k = s if s <= K_STEP_CAP else K_CANDIDATES
+    if data_valid is None:
+        data_valid = buffer[0].shape[-1]
+    data_valid = jnp.asarray(data_valid, jnp.int32)
     batch = final.score.shape[:-1]
     if do_extract is None:
         do_extract = jnp.any(raw.emit)
@@ -680,22 +710,33 @@ def _mib_postpass(state0: TriggerState, final: TriggerState,
         cell_id = 3 * jnp.maximum(n_id_1, 0) + nid2
 
         # ---- capture selection ----
+        # slot-1 of a candidate is read from [st0 + 960, st0 + 1920); defer
+        # candidates that would read past data_valid (ADVICE r3: a clipped
+        # streaming buffer otherwise fed zero/misaligned samples into the
+        # TTI accumulator for peaks in the grid's last ~960 bins)
+        gatherable = st0 + 2 * SLOT_LENGTH <= data_valid
         (want_cap, slot, fresh, cnt, cell_f0, pf_f, p_live_f,
-         overflow) = _capture_chain(state0, raw, sss_valid, sub5, cell_id, k)
+         overflow) = _capture_chain(state0, raw, sss_valid, sub5, cell_id,
+                                    gatherable, k)
 
         onehot = (slot[..., None] == jnp.arange(k, dtype=jnp.int32)) \
             & want_cap[..., None]                       # [S, .., R, K]
 
-        def scatter(v, dtype=None):
-            x = v[..., None].astype(jnp.float32) * onehot.astype(jnp.float32)
-            out = jnp.sum(x, axis=0)
-            return out.astype(dtype) if dtype else out
+        def scatter_i(v):
+            # integer fields stay integer end-to-end (a f32 one-hot
+            # multiply-sum loses exactness for positions above 2^24,
+            # ~8.7 s of stream — ADVICE r3)
+            return jnp.sum(jnp.where(onehot, v[..., None], 0), axis=0)
 
-        cand_cell = scatter(cell_id, jnp.int32)
-        cand_cp = scatter(normal_cp, jnp.int32) > 0
-        cand_fresh = scatter(fresh, jnp.int32) > 0
-        cand_start = scatter(st0 + SLOT_LENGTH, jnp.int32)
-        cand_freq = scatter(freq)
+        def scatter_f(v):
+            x = v[..., None].astype(jnp.float32) * onehot.astype(jnp.float32)
+            return jnp.sum(x, axis=0)
+
+        cand_cell = scatter_i(cell_id)
+        cand_cp = scatter_i(normal_cp.astype(jnp.int32)) > 0
+        cand_fresh = scatter_i(fresh.astype(jnp.int32)) > 0
+        cand_start = scatter_i(st0 + SLOT_LENGTH)
+        cand_freq = scatter_f(freq)
         valid = jnp.arange(k, dtype=jnp.int32) < cnt[..., None]
 
         inner_decode = jnp.sum(cnt) > 0 if do_decode is None else do_decode
@@ -728,8 +769,8 @@ def _mib_postpass(state0: TriggerState, final: TriggerState,
         track_event = jnp.any(onehot & is_pub[None], axis=-1)   # [S, .., R]
 
         def fld(a):
-            x = a[None].astype(jnp.float32) * onehot.astype(jnp.float32)
-            return jnp.where(track_event, jnp.sum(x, -1).astype(jnp.int32), 0)
+            x = jnp.sum(jnp.where(onehot, a[None], 0), axis=-1)
+            return jnp.where(track_event, x, 0)
 
         new_final = final._replace(
             cfo_ring=ring_f, cfo_count=count_f,
@@ -824,16 +865,22 @@ def scan_engine(buffer: cplx.Pair, state: TriggerState, n_steps: int,
                 track_after: int = DEFAULT_TRACK_AFTER,
                 track_every: int = DEFAULT_TRACK_EVERY,
                 n_valid=None, combine: bool = True,
-                grid0_static: int | None = None):
+                grid0_static: int | None = None, data_valid=None):
     """Device-resident engine: scan `n_steps` half-frame steps over a
     padded stream buffer, then batch-decode the captured MIB candidates
     (the whole GNU Radio scheduler collapses to this).
 
     buffer: pair of [..., N] float32 (leading dims = channels); see
     scan_pass for the padding contract.
+    n_valid bounds step OWNERSHIP (which grid steps run); data_valid bounds
+    readable DATA for candidate gathers (defaults to n_valid; a time shard
+    passes its halo'd extent, which exceeds its owned extent).
     returns: (final_state, StepOutput stacked [n_steps, ...])
     """
     final, raw = scan_pass(buffer, state, n_steps, psr_threshold,
                            track_after, track_every, n_valid=n_valid,
                            grid0_static=grid0_static)
-    return _mib_postpass(state, final, raw, buffer, combine=combine)
+    if data_valid is None:
+        data_valid = n_valid
+    return _mib_postpass(state, final, raw, buffer, data_valid=data_valid,
+                         combine=combine)

@@ -145,7 +145,10 @@ def time_sharded_scan(stream: jnp.ndarray, mesh: Mesh, psr_threshold,
         st, out = trig.scan_engine(buf, trig.init_state(), steps,
                                    psr_threshold, track_after, track_every,
                                    n_valid=n_valid,
-                                   grid0_static=trig.LOOKBACK)
+                                   grid0_static=trig.LOOKBACK,
+                                   # candidate gathers may read into the
+                                   # halo: data extends past the owned span
+                                   data_valid=trig.LOOKBACK + block + halo)
         return jax.tree_util.tree_map(lambda a: a[None], out)
 
     fn = jax.jit(jax.shard_map(

@@ -176,39 +176,105 @@ def test_reacquisition_within_one_chunk():
     assert store.tracking()
 
 
-def test_capture_overflow_defers_not_loses():
-    """Hostile stream: EVERY step wants a MIB capture (repeated subframe-0
-    half-frames), scan chunks longer than K=16.  Overflowed captures must be
-    counted and the detection only deferred to the next chunk, never lost."""
-    from ltetrigger_tpu.ops import cplx
-
-    cell_id = 151
+def _hostile_burst(cell_id: int, n_bad: int, n_good: int):
+    """`n_bad` PBCH-corrupted + `n_good` clean copies of ONE subframe-0
+    half-frame: every half-frame tags a MIB capture (hostile all-sub0
+    stream; real frames alternate sub0/sub5)."""
     rng = np.random.default_rng(3)
     half = synth.synthesize_frame(cell_id, nof_prb_field=50)[:9600]
     bad = half.copy()
     bad[960:1920] = (0.2 * (rng.normal(size=960) + 1j * rng.normal(size=960)))
-    sig = np.concatenate([np.tile(bad, 20), np.tile(half, 12)]) \
+    return np.concatenate([np.tile(bad, n_bad), np.tile(half, n_good)]) \
         .astype(np.complex64)
+
+
+def _engine_buffer(sig: np.ndarray):
+    from ltetrigger_tpu.ops import cplx
 
     sp = cplx.from_numpy(sig)
     zh = jnp.zeros(trig.LOOKBACK, jnp.float32)
     zt = jnp.zeros(trig.WINDOW, jnp.float32)
-    buffer = (jnp.concatenate([zh, sp[0], zt]),
-              jnp.concatenate([zh, sp[1], zt]))
+    return (jnp.concatenate([zh, sp[0], zt]),
+            jnp.concatenate([zh, sp[1], zt]))
+
+
+def test_capture_overflow_defers_not_loses():
+    """Hostile stream: EVERY step wants a MIB capture (25 > the old K=16
+    burst), then the stream goes SILENT forever.  Driver-path dispatches
+    (<= K_STEP_CAP steps) allocate one capture slot per step, so the whole
+    burst decodes in-dispatch and the cell publishes even though no further
+    candidate ever arrives (VERDICT r3 #7)."""
+    cell_id = 151
+    burst = _hostile_burst(cell_id, 20, 5)          # 25 capture-worthy steps
+    silence = np.zeros(4 * 9600, dtype=np.complex64)
+    buffer = _engine_buffer(np.concatenate([burst, silence]))
 
     state = trig.init_state()
     state, out1 = trig.scan_engine(buffer, state, 25, 4.0)
     lane = cell_id % 3
-    assert int(state.cap_overflow[lane]) > 0, \
-        "25-step chunk of all-capture steps must overflow K=16 slots"
-    assert not np.asarray(out1.track_event).any(), \
-        "all chunk-1 captures carry corrupted PBCH"
-
-    state, out2 = trig.scan_engine(buffer, state, 25, 4.0)
-    steps, roots = np.where(np.asarray(out2.track_event))
-    assert len(steps) >= 1, "deferred capture must publish next chunk"
+    assert int(state.cap_overflow[lane]) == 0, \
+        "a <=32-step dispatch has a capture slot per step: no overflow"
+    steps, roots = np.where(np.asarray(out1.track_event))
+    assert len(steps) >= 1, \
+        "the >16-capture burst must publish within its own dispatch"
     assert roots[0] == lane
-    assert int(out2.cell_id[steps[0], roots[0]]) == cell_id
+    assert int(out1.cell_id[steps[0], roots[0]]) == cell_id
+
+    # the silence afterwards produces no retraction (loss only drops the
+    # cell after it was tracking-published and hysteresis decays)
+    state, out2 = trig.scan_engine(buffer, state, 4, 4.0)
+    assert not np.asarray(out2.track_event).any()
+
+
+def test_capture_overflow_counted_long_dispatch():
+    """Dispatches longer than K_STEP_CAP (offline channel_scan shape) bound
+    the decode batch at K_CANDIDATES and COUNT the deferred captures in
+    cap_overflow — the documented fallback, observable not silent."""
+    cell_id = 151
+    sig = _hostile_burst(cell_id, 40, 0)
+    buffer = _engine_buffer(sig)
+
+    state = trig.init_state()
+    state, _out = trig.scan_engine(buffer, state, 40, 4.0)
+    lane = cell_id % 3
+    assert int(state.cap_overflow[lane]) > 0, \
+        "a 40-step all-capture dispatch must overflow K=16 and count it"
+
+
+def test_capture_edge_deferral_no_misaligned_gather():
+    """A capture whose peak lands in the grid's last ~960 bins would read
+    slot 1 past n_valid (ADVICE r3 medium): it must be deferred + counted,
+    never gathered from unuploaded/misaligned samples.  Earlier candidates
+    keep publishing identically."""
+    cell_id = 153
+    frame = synth.synthesize_frame(cell_id, nof_prb_field=50)
+    # 8767 samples of lead-in puts every sub0 PSS peak at grid bin 9599
+    lead = np.zeros(8767, dtype=np.complex64)
+    sig = np.concatenate([lead, np.tile(frame, 8)]).astype(np.complex64)
+    buffer = _engine_buffer(sig)
+    n_steps = 15
+    lane = cell_id % 3
+
+    # full visibility: baseline behavior
+    st_full, out_full = trig.scan_engine(buffer, trig.init_state(), n_steps,
+                                         2.0)
+    assert np.asarray(out_full.track_event).any()
+    full_overflow = int(st_full.cap_overflow[lane])
+
+    # clip n_valid so the LAST step is active (grid + 9728 <= n_valid) but
+    # its candidate is not gatherable (grid + 8767 + 1920 > n_valid)
+    last_grid = trig.LOOKBACK + 9600 * (n_steps - 1)
+    n_valid = last_grid + 10000
+    st_clip, out_clip = trig.scan_engine(buffer, trig.init_state(), n_steps,
+                                         2.0, n_valid=n_valid)
+    # the final step ran (consumed) but its capture was deferred + counted
+    assert np.asarray(out_clip.consumed)[-1].all()
+    extra = int(st_clip.cap_overflow[lane]) - full_overflow
+    assert extra >= 1, "edge capture must be counted as deferred"
+    # earlier captures publish identically (no llr_acc pollution upstream)
+    np.testing.assert_array_equal(
+        np.asarray(out_full.track_event)[:-1],
+        np.asarray(out_clip.track_event)[:-1])
 
 
 def test_ring_series_matches_sequential():
