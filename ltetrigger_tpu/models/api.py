@@ -11,6 +11,7 @@ protocol into a CellStore.
 from __future__ import annotations
 
 import functools
+import time
 from collections import deque
 from typing import Callable, Optional
 
@@ -281,6 +282,14 @@ class Trigger:
         # outstanding dispatches: deque of (packed_out device array, n_steps)
         self._outstanding: deque = deque()
         self._disp_steps = 0
+        # arrival anchors (end_stream_pos, wall_time): each process() call
+        # records when its samples ARRIVED, so a track event detected at
+        # stream position p is stamped with the arrival time of p — not the
+        # (pipeline-delayed) host drain time.  The reference stamps at
+        # publish inside the block (lib/mib_impl.cc:246-248), which on its
+        # synchronous scheduler is the same instant the samples were seen;
+        # with pipeline>0 the drain can lag by the dispatch backlog.
+        self._anchors: deque = deque()
         # adaptive scan depth: one dispatch covers up to 32 half-frame steps
         # when the backlog is deep (dispatches <= K_STEP_CAP steps get one
         # capture slot per step, so capture overflow cannot occur here)
@@ -351,6 +360,7 @@ class Trigger:
             return []
         self._buf = np.concatenate(
             [self._buf, np.asarray(samples, dtype=np.complex64)])
+        self._anchors.append((self._base + len(self._buf), time.time()))
         published: list[Cell] = []
         self._maybe_rebase()
         self._pump(published,
@@ -513,8 +523,10 @@ class Trigger:
                 host = trig.unpack_output(cat[off:off + n_steps])
                 off += n_steps
                 self._disp_steps -= n_steps
+                pos_before = self._pos_lb.copy()
                 self._pos_lb += host.consumed.sum(axis=0).astype(np.int64)
-                self._apply_events(host, published)
+                self._apply_events(host, published, pos_before)
+                self._prune_anchors()
                 if self.done:
                     self._disp_steps = 0
                     return
@@ -526,14 +538,35 @@ class Trigger:
             with self.timer.stage("drain"):
                 host = trig.unpack_output(np.asarray(out))
             self._disp_steps -= n_steps
+            pos_before = self._pos_lb.copy()
             self._pos_lb += host.consumed.sum(axis=0).astype(np.int64)
-            self._apply_events(host, published)
+            self._apply_events(host, published, pos_before)
+            self._prune_anchors()
             if self.done:
                 self._outstanding.clear()
                 self._disp_steps = 0
                 return
 
-    def _apply_events(self, host, published: list[Cell]) -> None:
+    def _stamp(self, stream_pos: int) -> float:
+        """Wall time at which stream position `stream_pos` ARRIVED (first
+        anchor covering it); falls back to now for positions with no
+        recorded arrival (e.g. right after load_state)."""
+        for end, t in self._anchors:
+            if end >= stream_pos:
+                return t
+        return time.time()
+
+    def _prune_anchors(self) -> None:
+        lo = int(self._pos_lb.min())
+        while self._anchors and self._anchors[0][0] < lo:
+            self._anchors.popleft()
+
+    def _apply_events(self, host, published: list[Cell],
+                      pos_before=None) -> None:
+        if pos_before is None:
+            pos_before = self._pos_lb
+        # stream position at the END of each step's half-frame, per root
+        pos_after = pos_before[None, :] + np.cumsum(host.consumed, axis=0)
         for s in range(host.track_event.shape[0]):
             for r in range(host.track_event.shape[1]):
                 if host.drop_event[s, r]:
@@ -546,7 +579,8 @@ class Trigger:
                         host.cell_id[s, r], host.nof_prb[s, r],
                         host.nof_ports[s, r], host.phich_ext[s, r],
                         host.phich_res[s, r], host.sfn_offset[s, r],
-                        bool(host.normal_cp[s, r]))
+                        bool(host.normal_cp[s, r]),
+                        timestamp=self._stamp(int(pos_after[s, r])))
                     self.cellstore.track_cell(cell)
                     published.append(cell)
                     if self.on_track:
@@ -564,6 +598,7 @@ class Trigger:
         self._base -= delta
         self._pos_lb -= delta
         self._dev_base -= delta
+        self._anchors = deque((end - delta, t) for end, t in self._anchors)
         self._state = self._state._replace(
             pos=self._state.pos - jnp.int32(delta))
 
@@ -588,7 +623,8 @@ class Trigger:
         self._pos_lb = np.asarray(data["state_pos"]).astype(np.int64)
         self._outstanding.clear()
         self._disp_steps = 0
-        self._dev = None            # mirror re-syncs lazily from _buf
+        self._anchors.clear()       # arrival times not checkpointed: events
+        self._dev = None            # after resume stamp at drain time
         self._dev_len = 0
         self._buf = data["buf"]
         self._base = int(data["base"])
