@@ -49,6 +49,9 @@ def __getattr__(name):
     if name in ("search", "Trigger"):
         from .models import api
         return getattr(api, name)
+    if name == "MultiTrigger":
+        from .models.multi import MultiTrigger
+        return MultiTrigger
     if name == "CellStore":
         from .runtime.cellstore import CellStore
         return CellStore

@@ -1,0 +1,144 @@
+"""MultiTrigger: N host-fed streams through one batched dispatch pipeline.
+
+The headline contract (VERDICT r3 #1): per-stream events are identical to
+running N separate single-stream Triggers over the same chunks — the [N]
+axis only batches work, never mixes streams.
+"""
+
+import numpy as np
+import pytest
+
+from ltetrigger_tpu.ltecore import synth
+from ltetrigger_tpu.models import api
+from ltetrigger_tpu.models.multi import MultiTrigger
+from tests.conftest import load_frame
+
+CHUNK = 19200
+
+
+def _streams_3():
+    """Three dissimilar streams: a real capture, pure noise, a synth cell."""
+    iq, cell_id, _ = load_frame(6)
+    rng = np.random.default_rng(11)
+    noise = (0.5 * (rng.normal(size=6 * CHUNK)
+                    + 1j * rng.normal(size=6 * CHUNK))).astype(np.complex64)
+    cell2 = synth.synthesize_frame(207, nof_prb_field=25)
+    sigs = [np.tile(iq, 6),
+            noise,
+            np.tile(cell2, 6).astype(np.complex64)]
+    n = min(len(s) for s in sigs)
+    return [s[:n] for s in sigs], {0: cell_id, 2: 207}
+
+
+def test_multi_matches_single_stream_events():
+    sigs, expect = _streams_3()
+
+    # N separate single-stream triggers (bit-exact transport)
+    singles = [api.Trigger(psr_threshold=4, transport="f32")
+               for _ in sigs]
+    for t, s in zip(singles, sigs):
+        for i in range(0, len(s), CHUNK):
+            t.process(s[i:i + CHUNK])
+        t.flush()
+
+    multi = MultiTrigger(3, psr_threshold=4, transport="f32")
+    events = []
+    for i in range(0, len(sigs[0]), CHUNK):
+        events += multi.process_all([s[i:i + CHUNK] for s in sigs])
+    events += multi.flush()
+
+    for n in range(3):
+        want = [c.cell_id for c in singles[n].cellstore.cells()]
+        got = [c.cell_id for c in multi.stores[n].cells()]
+        assert got == want, f"stream {n}: {got} != single-run {want}"
+    assert {n for n, _ in events} == set(expect)
+    for n, cid in expect.items():
+        assert multi.stores[n].latest_cell().cell_id == cid
+    assert multi.stores[1].cells() == []
+
+    # telemetry parity per stream (same engine, same samples, f32)
+    np.testing.assert_allclose(
+        multi.mean_psr,
+        np.stack([t.mean_psr for t in singles]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        multi.tracking_score,
+        np.stack([t.tracking_score for t in singles]))
+
+
+@pytest.mark.parametrize("transport", ["i16", "i8", "i4"])
+def test_multi_quantized_transports_detect(transport):
+    sigs, expect = _streams_3()
+    multi = MultiTrigger(3, psr_threshold=4, transport=transport)
+    for i in range(0, len(sigs[0]), CHUNK):
+        multi.process_all([s[i:i + CHUNK] for s in sigs])
+    multi.flush()
+    for n, cid in expect.items():
+        assert multi.stores[n].latest_cell() is not None, \
+            f"stream {n} lost its cell under {transport} transport"
+        assert multi.stores[n].latest_cell().cell_id == cid
+    assert multi.stores[1].cells() == []
+
+
+def test_multi_shared_consumption_and_fill_gap():
+    """The group advances at the slowest stream's pace; fill_gap unblocks."""
+    iq, cell_id, _ = load_frame(6)
+    sig = np.tile(iq, 6)
+    multi = MultiTrigger(2, psr_threshold=4, transport="f32")
+
+    # feed only stream 0: nothing can scan (stream 1 has no data)
+    multi.process(0, sig)
+    multi.flush()
+    assert multi.stores[0].cells() == []
+    assert multi.backlog[0] > multi.backlog[1]
+
+    # declare the same span as dropped on stream 1: group unblocks and
+    # stream 0 publishes; stream 1 (silence) stays quiet
+    multi.fill_gap(1, len(sig))
+    multi.flush()
+    assert multi.stores[0].latest_cell().cell_id == cell_id
+    assert multi.stores[1].cells() == []
+
+
+def test_multi_loss_drops_only_that_stream():
+    iq, cell_id, _ = load_frame(6)
+    rng = np.random.default_rng(5)
+    sig = np.tile(iq, 6)
+    multi = MultiTrigger(2, psr_threshold=4, transport="f32")
+    multi.process_all([sig, sig])
+    multi.flush()
+    assert multi.stores[0].tracking() and multi.stores[1].tracking()
+
+    # stream 1 degrades to noise; stream 0 keeps the cell
+    sigma = 3.0 * float(np.sqrt(np.mean(np.abs(iq) ** 2)))
+    noise = (sigma * (rng.normal(size=len(sig))
+                      + 1j * rng.normal(size=len(sig)))).astype(np.complex64)
+    drops = []
+    multi.on_drop = lambda n, cid: drops.append((n, cid))
+    multi.process_all([np.tile(iq, 6), noise])
+    multi.flush()
+    assert multi.stores[0].tracking(), "stream 0 must keep its cell"
+    assert not multi.stores[1].tracking(), "stream 1 must drop"
+    assert (1, cell_id) in drops and (0, cell_id) not in drops
+
+
+def test_multi_checkpoint_resume(tmp_path):
+    sigs, expect = _streams_3()
+    path = str(tmp_path / "multi.npz")
+
+    # checkpoint mid-stream; post-resume event streams must be identical
+    # (CellStore contents are the app's to persist, same contract as the
+    # single-stream checkpoint test)
+    m1 = MultiTrigger(3, psr_threshold=4, transport="f32")
+    m1.process_all([s[:2 * CHUNK] for s in sigs])
+    m1.save_state(path)
+
+    m2 = MultiTrigger(3, psr_threshold=4, transport="f32")
+    m2.load_state(path)
+    evs = {}
+    for key, m in (("m1", m1), ("m2", m2)):
+        e = m.process_all([s[2 * CHUNK:] for s in sigs])
+        e += m.flush()
+        evs[key] = [(n, c.cell_id) for n, c in e]
+    assert evs["m1"] == evs["m2"]
+    np.testing.assert_allclose(m1.mean_psr, m2.mean_psr, rtol=1e-5)
+    np.testing.assert_array_equal(m1.tracking_score, m2.tracking_score)
