@@ -246,11 +246,12 @@ def main():
         extra["streaming_sps_worst"] = st["worst"]
         extra["streaming_checked"] = bool(s_ok)
     if not os.environ.get("BENCH_SKIP_MULTISTREAM"):
-        m_sps, m_ok = _multistream_throughput()
-        st = _stats(m_sps)
-        extra["multistream8_sps_per_stream"] = st["median"]
-        extra["multistream8_sps_per_stream_best"] = st["best"]
-        extra["multistream8_checked"] = bool(m_ok)
+        for tr in ("i16", "i4"):
+            m_sps, m_ok = _multistream_throughput(transport=tr)
+            st = _stats(m_sps)
+            extra[f"multistream8_{tr}_sps_per_stream"] = st["median"]
+            extra[f"multistream8_{tr}_sps_per_stream_best"] = st["best"]
+            extra[f"multistream8_{tr}_checked"] = bool(m_ok)
     if not os.environ.get("BENCH_SKIP_WIDEBAND"):
         w_sps, w_ok = _wideband_throughput()
         st = _stats(w_sps)

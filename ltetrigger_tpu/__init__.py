@@ -26,6 +26,11 @@ def _enable_compilation_cache():
     cost minutes; the on-disk cache turns every repeat invocation (tests,
     CLI, bench, driver checks) into a cache hit.  Safe no-op off-TPU.
     """
+    if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # XLA:CPU AOT cache entries target ISA extensions the execution
+        # host may lack (observed SIGSEGV reloading them on this fleet);
+        # CPU compiles are cheap — skip persistent caching off-TPU.
+        return
     cache = _os.environ.get("LTETRIGGER_COMPILE_CACHE",
                             _os.path.join(_os.path.dirname(__file__),
                                           _os.pardir, ".jax_cache"))

@@ -18,6 +18,11 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# XLA:CPU AOT cache entries are not safe to reload on this fleet (compile
+# targets ISA extensions the execution host may lack -> SIGSEGV on load);
+# CPU compiles are cheap, so tests run cache-less.  The TPU paths keep the
+# persistent cache (see ltetrigger_tpu.__init__).
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

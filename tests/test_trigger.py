@@ -424,3 +424,34 @@ def test_tracking_start_time_from_stream_position(monkeypatch):
         "pipeline depth must not move the published timestamp"
     assert t_deep <= end_deep - 50, \
         "timestamp must track the detection's stream position, not drain"
+
+
+def test_streaming_integer_cfo_acquisition(tmp_path):
+    """A live stream at 1.3-subcarrier offset never acquires through the
+    plain driver, but cfo_search_range=2 probes replica banks while
+    untracked, rotates the device mirror by the winning bin
+    (phase-continuously), and the cell publishes (VERDICT r3 #5 — the
+    search()-only capability now runs in the streaming path)."""
+    f = synth.synthesize_frame(200, nof_prb_field=50)
+    sig = np.tile(f, 12)
+    n = np.arange(sig.size, dtype=np.float64)
+    rx = (sig * np.exp(2j * np.pi * 1.3 / 128.0 * n)).astype(np.complex64)
+
+    plain = api.Trigger(psr_threshold=4)
+    assert plain.process(rx) + plain.flush() == [], \
+        "the uncorrected matched filter must NOT see a 1.3-sc offset cell"
+
+    trg = api.Trigger(psr_threshold=4, cfo_search_range=2)
+    cells = []
+    for i in range(0, len(rx), 19200):
+        cells += trg.process(rx[i:i + 19200])
+    cells += trg.flush()
+    assert cells and cells[0].cell_id == 200
+    assert trg._cfo_bin != 0, "acquisition must have come from a probe hit"
+
+    # the probed bin survives checkpoint/resume
+    ckpt = str(tmp_path / "cfo.npz")
+    trg.save_state(ckpt)
+    trg2 = api.Trigger(psr_threshold=4, cfo_search_range=2)
+    trg2.load_state(ckpt)
+    assert trg2._cfo_bin == trg._cfo_bin
