@@ -211,6 +211,32 @@ def cmd_micro(args):
 
     emit(op="gather_seg", ms=round(timeit(gather, buf, starts) * 1e3, 1))
 
+    # the three slot-0 extraction strategies at the ENGINE's real geometry
+    # (clustered per-step starts, not the uniform-random ones above)
+    n_eng = trig.LOOKBACK + S * 9600 + trig.WINDOW
+    ebuf = (jnp.asarray(rng.normal(size=(C, n_eng)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(C, n_eng)).astype(np.float32)))
+    peak = jnp.asarray(rng.integers(0, 9600, size=(S, C, R)), jnp.int32)
+    grid = trig.LOOKBACK + 9600 * jnp.arange(S, dtype=jnp.int32)
+    est = grid.reshape(S, 1, 1) + peak - trig.LOOKBACK + trig.SEG_OFF
+    jax.block_until_ready(ebuf)
+
+    @jax.jit
+    def eg(b, st):
+        return trig._gather_steps(b, st, trig.SEG)
+
+    @jax.jit
+    def etaa(b, st):
+        return trig._extract_segs_taa(b, st)
+
+    @jax.jit
+    def edense(b, pk):
+        return trig._extract_segs_dense(b, jnp.int32(trig.LOOKBACK), S, pk)
+
+    emit(op="extract_gather", ms=round(timeit(eg, ebuf, est) * 1e3, 1))
+    emit(op="extract_taa", ms=round(timeit(etaa, ebuf, est) * 1e3, 1))
+    emit(op="extract_dense", ms=round(timeit(edense, ebuf, peak) * 1e3, 1))
+
     seg = (jnp.asarray(rng.normal(size=(S, C, R, trig.SEG))
                        .astype(np.float32)),
            jnp.asarray(rng.normal(size=(S, C, R, trig.SEG))

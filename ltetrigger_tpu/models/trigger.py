@@ -446,6 +446,106 @@ def _gather_cands(buffer: cplx.Pair, starts, length: int) -> cplx.Pair:
             _gather_rows(buffer[1], starts, length))
 
 
+# Pass-C slot-0 segment extraction strategy.  "dense" (default) replaces the
+# per-lane HBM gather — measured as THE dominant cost of pass C (r4 op
+# ladder, BENCHNOTES) — with exact one-hot f32 matmuls + static slices;
+# "gather" is the round-3 vmapped-dynamic-slice path (kept as golden
+# cross-check); "taa" is a take_along_axis formulation for A/B timing.
+SEG_EXTRACT = os.environ.get("LTETRIGGER_SEG_EXTRACT", "dense")
+
+
+def _extract_segs_taa(buffer: cplx.Pair, starts) -> cplx.Pair:
+    """take_along_axis formulation: starts [S, *B, R] -> [S, *B, R, SEG]."""
+    nb = buffer[0].ndim - 1
+    idx = starts[..., None] + jnp.arange(SEG, dtype=starts.dtype)
+
+    def one(comp):
+        b = jnp.expand_dims(comp, axis=(0, nb + 1))   # [1, *B, 1, N]
+        return jnp.take_along_axis(b, idx, axis=-1)
+
+    return one(buffer[0]), one(buffer[1])
+
+
+def _extract_segs_dense(buffer: cplx.Pair, grid0, n_steps: int,
+                        peak) -> cplx.Pair:
+    """Slot-0 tail segments with NO per-lane HBM gathers.
+
+    seg[s, *B, r] = buffer[*B, grid0 + 9600 s + peak[s,*B,r] - 384 : +SEG]
+    (the -384 = SEG_OFF - LOOKBACK).  The peak shift decomposes as
+    peak = 128 q + 16 u + v; selection then runs entirely on dense units:
+
+      stage 0  ONE contiguous slice per step group (static shapes), viewed
+               as 128-sample blocks; per-step 80-block windows come from
+               the stride-75 reshape trick (no gathers);
+      stage 1  q: one-hot [5, 80] matmul picks the 5 blocks q..q+4;
+      stage 2  u: one-hot [33, 40] matmul picks 16-sample sub-blocks;
+      stage 3  v: einsum against the 16 static 512-shifts.
+
+    One-hot f32 matmuls are EXACT (weights 0/1), so this is bit-identical
+    to the gather path (tests/test_trigger.py::test_seg_extract_paths_agree)
+    while running on MXU/VPU dense pipes instead of the scalar gather unit
+    (TPU gathers execute element-proportionally; this extraction was ~60%
+    of pass C at the bench shape).  Memory is bounded group-wise, like
+    pass A."""
+    batch = buffer[0].shape[:-1]
+    nbatch = int(np.prod(batch, dtype=np.int64)) or 1
+    g = _pick_group(n_steps, nbatch)
+    n_groups = n_steps // g
+    q = peak // SYMBOL_SZ                       # [S, *B, R] in [0, 74]
+    u = (peak % SYMBOL_SZ) // 16                # [0, 7]
+    v = peak % 16                               # [0, 15]
+
+    def regroup(a):
+        return a.reshape((n_groups, g) + a.shape[1:])
+
+    qg, ug, vg = regroup(q), regroup(u), regroup(v)
+    span = g * HALF_FRAME_LENGTH + 640          # g*75 + 5 blocks of 128
+    nblk = span // SYMBOL_SZ
+    b_idx = jnp.arange(80, dtype=jnp.int32)
+    w_idx = jnp.arange(40, dtype=jnp.int32)
+
+    def group(_, xs):
+        gi, qx, ux, vx = xs
+        lo = grid0 - (LOOKBACK - SEG_OFF) + gi * (g * HALF_FRAME_LENGTH)
+        oh1 = (qx[..., None, None]
+               + jnp.arange(5, dtype=jnp.int32)[:, None]
+               == b_idx).astype(jnp.float32)    # [g, *B, R, 5, 80]
+        oh2 = (ux[..., None, None]
+               + jnp.arange(33, dtype=jnp.int32)[:, None]
+               == w_idx).astype(jnp.float32)    # [g, *B, R, 33, 40]
+        oh3 = (vx[..., None]
+               == jnp.arange(16, dtype=jnp.int32)).astype(jnp.float32)
+
+        def extract(comp):
+            U = jax.lax.dynamic_slice_in_dim(comp, lo, span, -1)
+            blocks = U.reshape(batch + (nblk, SYMBOL_SZ))
+            w1 = blocks[..., :g * 75, :].reshape(
+                batch + (g, 75, SYMBOL_SZ))
+            pad = jnp.zeros(batch + (70, SYMBOL_SZ), comp.dtype)
+            bx = jnp.concatenate([blocks[..., 75:, :], pad], axis=-2)
+            w2 = bx.reshape(batch + (g, 75, SYMBOL_SZ))[..., :5, :]
+            W = jnp.concatenate([w1, w2], axis=-2)       # [*B, g, 80, 128]
+            Wg = jnp.moveaxis(W, len(batch), 0)          # [g, *B, 80, 128]
+            cat = jnp.einsum('g...rjb,g...bk->g...rjk', oh1, Wg)
+            cat = cat.reshape(cat.shape[:-2] + (640,))   # [g, *B, R, 640]
+            sb = cat.reshape(cat.shape[:-1] + (40, 16))
+            cat2 = jnp.einsum('g...rwb,g...rbm->g...rwm', oh2, sb)
+            cat2 = cat2.reshape(cat2.shape[:-2] + (528,))
+            sl = jnp.stack([cat2[..., vv:vv + SEG] for vv in range(16)],
+                           axis=-2)                      # [g, *B, R, 16, SEG]
+            return jnp.einsum('g...rv,g...rvm->g...rm', oh3, sl)
+
+        return _, (extract(buffer[0]), extract(buffer[1]))
+
+    _, segs = jax.lax.scan(
+        group, 0, (jnp.arange(n_groups, dtype=jnp.int32), qg, ug, vg))
+
+    def flat(a):
+        return a.reshape((n_steps,) + a.shape[2:])
+
+    return flat(segs[0]), flat(segs[1])
+
+
 def _ring_series(ring0, count0, est, push, lost):
     """Closed-form telemetry-ring recurrence over the step axis (exact
     parity with per-step reset-then-push semantics).  Possible without a
@@ -674,7 +774,12 @@ def _mib_postpass(state0: TriggerState, final: TriggerState,
         grid = raw.grid                        # [S]
         gridx = grid.reshape((s,) + (1,) * (len(batch) + 1))
         st0 = gridx + raw.peak - LOOKBACK      # slot-0 start [S, .., R]
-        seg = _gather_steps(buffer, st0 + SEG_OFF, SEG)  # [S, .., R, SEG]
+        if SEG_EXTRACT == "dense":
+            seg = _extract_segs_dense(buffer, grid[0], s, raw.peak)
+        elif SEG_EXTRACT == "taa":
+            seg = _extract_segs_taa(buffer, st0 + SEG_OFF)
+        else:
+            seg = _gather_steps(buffer, st0 + SEG_OFF, SEG)  # [S,..,R,SEG]
 
         # ---- CFO estimate (on the PSS symbol) + ring recurrence ----
         reps = tuple(jnp.asarray(a) for a in cfo_ops.replica_pairs())

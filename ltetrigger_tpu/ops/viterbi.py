@@ -119,10 +119,23 @@ def _sel4(cands, dec):
 
 def viterbi_decode_wa(llr: jnp.ndarray):
     """Wrap-around tail-biting decode, radix-4: two trellis stages per scan
-    step (60 sequential steps instead of 120 — the decode postpass is
-    latency-bound on this serial chain).  Identical survivor paths to the
-    radix-2 formulation up to argmax tie order; same outputs/metric contract
-    as viterbi_decode_wa_r2.
+    step (60 sequential steps instead of 120), with PHASE-SPLIT survivor
+    recording: only the middle copy's 40 bits are ever read, so the scan
+    runs as
+
+      phase 1 (symbols   0..39): ACS only — the carry is just the state
+              metric [B, 64] (no survivor registers at all);
+      phase 2 (symbols  40..79): ACS + register-exchange RECORDING into
+              two uint32 registers (2 bits/step x 20 steps = exactly the
+              40 wanted bits);
+      phase 3 (symbols 80..119): ACS + register exchange only (the
+              recorded bits keep following their paths, nothing shifts in).
+
+    The decode postpass is HBM-bound on this serial chain's carry traffic
+    (r4 attribution: Viterbi was ~85% of the decode stage and scaled
+    superlinearly with batch); dropping from three always-carried
+    registers to {0, 2, 2} across the phases cuts that traffic ~1.7x.
+    Identical outputs to viterbi_decode_wa_r2 up to argmax tie order.
 
     llr: [B, 40, 3] float32 — +1 favours bit 0.
     returns: (bits [B, 40] int32, metric [B] float32)
@@ -132,6 +145,7 @@ def viterbi_decode_wa(llr: jnp.ndarray):
     BITS2 = jnp.asarray(BITS2_np.astype(np.int32))     # [64, 4]
     B = llr.shape[0]
     n = llr.shape[1]
+    assert n == 40, "wrap-around layout is sized for the 40-bit PBCH block"
     r3 = jnp.concatenate([llr, llr, llr], axis=1)      # [B, 3n, 3]
     r6 = r3.reshape(B, 3 * n // 2, 6)                  # two symbols per step
 
@@ -139,39 +153,50 @@ def viterbi_decode_wa(llr: jnp.ndarray):
         return jnp.tile(x.reshape(B, 1, 16, 4),
                         (1, 4, 1, 1)).reshape(B, N_STATES, 4)
 
-    def acs2(carry, r_t):
-        m, r2, r1, r0 = carry
+    def acs_core(m, r_t):
         br = jnp.einsum("njc,bc->bnj", OB2, r_t)       # [B, 64, 4]
         cand = tile4(m) + br
         dec = jnp.argmax(cand, axis=-1)                # [B, 64]
-        m_new = jnp.max(cand, axis=-1)
+        return jnp.max(cand, axis=-1), dec
+
+    xs = jnp.swapaxes(r6, 0, 1)                        # [60, B, 6]
+
+    def p1(m, r_t):                                    # metric-only
+        m_new, _ = acs_core(m, r_t)
+        return m_new, None
+
+    m, _ = jax.lax.scan(p1, jnp.zeros((B, N_STATES), jnp.float32), xs[:20])
+
+    def p2(carry, r_t):                                # record 2 bits/step
+        m, r1, r0 = carry
+        m_new, dec = acs_core(m, r_t)
         bits2 = _sel4(jnp.broadcast_to(BITS2, (B,) + BITS2.shape), dec) \
             .astype(jnp.uint32)
+        r0p = _sel4(tile4(r0), dec)
+        r1p = _sel4(tile4(r1), dec)
+        return (m_new, (r1p << 2) | (r0p >> 30), (r0p << 2) | bits2), None
 
-        def exch(r):
-            return _sel4(tile4(r), dec)
-
-        r0p, r1p, r2p = exch(r0), exch(r1), exch(r2)
-        r0n = (r0p << 2) | bits2
-        r1n = (r1p << 2) | (r0p >> 30)
-        r2n = (r2p << 2) | (r1p >> 30)
-        return (m_new, r2n, r1n, r0n), None
-
-    m0 = jnp.zeros((B, N_STATES), jnp.float32)
     z = jnp.zeros((B, N_STATES), jnp.uint32)
-    (m, r2, r1, r0), _ = jax.lax.scan(acs2, (m0, z, z, z),
-                                      jnp.swapaxes(r6, 0, 1))
+    (m, r1, r0), _ = jax.lax.scan(p2, (m, z, z), xs[20:40])
+
+    def p3(carry, r_t):                                # exchange only
+        m, r1, r0 = carry
+        m_new, dec = acs_core(m, r_t)
+        return (m_new, _sel4(tile4(r1), dec), _sel4(tile4(r0), dec)), None
+
+    (m, r1, r0), _ = jax.lax.scan(p3, (m, r1, r0), xs[40:])
 
     best = jnp.argmax(m, axis=-1)
     metric = jnp.max(m, axis=-1) / 3.0
     bidx = jnp.arange(B)
-    h2 = r2[bidx, best]
     h1 = r1[bidx, best]
-    t = jnp.arange(n, dtype=jnp.uint32) + n            # middle copy
-    k = jnp.uint32(3 * n - 1) - t
-    from_r2 = k >= 64
-    word = jnp.where(from_r2[None, :], h2[:, None], h1[:, None])
-    shift = jnp.where(from_r2, k - 64, k - 32)
+    h0 = r0[bidx, best]
+    # middle-copy symbol t in [40, 79] was recorded at chain bit 79 - t
+    t = jnp.arange(n, dtype=jnp.uint32) + n
+    k = jnp.uint32(2 * n - 1) - t                      # 39..0
+    from_r1 = k >= 32
+    word = jnp.where(from_r1[None, :], h1[:, None], h0[:, None])
+    shift = jnp.where(from_r1, k - 32, k)
     bits = (word >> shift[None, :]) & 1
     return bits.astype(jnp.int32), metric
 

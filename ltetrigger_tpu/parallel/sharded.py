@@ -110,6 +110,44 @@ def halo_exchange_right(x_local: jnp.ndarray, halo: int,
     return jnp.concatenate([x_local, recv])
 
 
+@functools.lru_cache(maxsize=64)
+def _time_sharded_exec(mesh: Mesh, block: int, track_after: int,
+                       track_every: int):
+    """Compiled t-sharded scan for one (mesh, block) geometry.  Cached at
+    module level: building a fresh jit(shard_map(...)) closure per call
+    recompiled every invocation AND leaked executables (XLA:CPU segfaulted
+    after ~100 compiles in the randomized property test)."""
+    halo = trig.WINDOW
+    steps = block // trig.HALF_FRAME_LENGTH
+
+    def shard_fn(xr, xi, thresh):
+        zh = jnp.zeros(trig.LOOKBACK, jnp.float32)
+        zt = jnp.zeros(trig.WINDOW, jnp.float32)
+        buf = tuple(jnp.concatenate(
+            [zh, halo_exchange_right(comp[0], halo), zt])
+            for comp in (xr, xi))
+        # logical end: exactly the grid steps whose 9600 candidate starts
+        # lie inside this block are active (active <=> grid + V2_WINDOW <=
+        # n_valid <=> 9600*(k+1) <= block) — each stream position is owned
+        # by exactly one shard; the halo exists so windows reaching past
+        # the seam stay valid.
+        from ..ops.correlate import V2_WINDOW
+        n_valid = trig.LOOKBACK + block + (V2_WINDOW
+                                           - trig.HALF_FRAME_LENGTH)
+        st, out = trig.scan_engine(buf, trig.init_state(), steps,
+                                   thresh, track_after, track_every,
+                                   n_valid=n_valid,
+                                   grid0_static=trig.LOOKBACK,
+                                   # candidate gathers may read into the
+                                   # halo: data extends past the owned span
+                                   data_valid=trig.LOOKBACK + block + halo)
+        return jax.tree_util.tree_map(lambda a: a[None], out)
+
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P("t"), P("t"), P()),
+        out_specs=P("t"), check_vma=False))
+
+
 def time_sharded_scan(stream: jnp.ndarray, mesh: Mesh, psr_threshold,
                       track_after: int = DEFAULT_TRACK_AFTER,
                       track_every: int = DEFAULT_TRACK_EVERY):
@@ -125,33 +163,6 @@ def time_sharded_scan(stream: jnp.ndarray, mesh: Mesh, psr_threshold,
     assert block % trig.HALF_FRAME_LENGTH == 0, (
         "pad the stream so each time block is a half-frame multiple — the "
         "grid engine searches in exact 9600-sample tiles")
-    halo = trig.WINDOW
-    steps = block // trig.HALF_FRAME_LENGTH
-
-    def shard_fn(*x_local):
-        zh = jnp.zeros(trig.LOOKBACK, jnp.float32)
-        zt = jnp.zeros(trig.WINDOW, jnp.float32)
-        buf = tuple(jnp.concatenate(
-            [zh, halo_exchange_right(comp[0], halo), zt])
-            for comp in x_local)
-        # logical end: exactly the grid steps whose 9600 candidate starts
-        # lie inside this block are active (active <=> grid + V2_WINDOW <=
-        # n_valid <=> 9600*(k+1) <= block) — each stream position is owned
-        # by exactly one shard; the halo exists so windows reaching past
-        # the seam stay valid.
-        from ..ops.correlate import V2_WINDOW
-        n_valid = trig.LOOKBACK + block + (V2_WINDOW
-                                           - trig.HALF_FRAME_LENGTH)
-        st, out = trig.scan_engine(buf, trig.init_state(), steps,
-                                   psr_threshold, track_after, track_every,
-                                   n_valid=n_valid,
-                                   grid0_static=trig.LOOKBACK,
-                                   # candidate gathers may read into the
-                                   # halo: data extends past the owned span
-                                   data_valid=trig.LOOKBACK + block + halo)
-        return jax.tree_util.tree_map(lambda a: a[None], out)
-
-    fn = jax.jit(jax.shard_map(
-        shard_fn, mesh=mesh, in_specs=(P("t"), P("t")), out_specs=P("t"),
-        check_vma=False))
-    return fn(stream[0].reshape(n_t, block), stream[1].reshape(n_t, block))
+    fn = _time_sharded_exec(mesh, block, track_after, track_every)
+    return fn(stream[0].reshape(n_t, block), stream[1].reshape(n_t, block),
+              jnp.asarray(psr_threshold, jnp.float32))

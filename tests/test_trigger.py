@@ -455,3 +455,29 @@ def test_streaming_integer_cfo_acquisition(tmp_path):
     trg2 = api.Trigger(psr_threshold=4, cfo_search_range=2)
     trg2.load_state(ckpt)
     assert trg2._cfo_bin == trg._cfo_bin
+
+
+def test_seg_extract_paths_agree():
+    """The dense one-hot-matmul slot-0 extraction (default) must be
+    BIT-IDENTICAL to the reference vmapped-gather path for random peaks
+    (one-hot f32 matmuls select exactly), including batched channels and
+    non-divisible group shapes."""
+    rng = np.random.default_rng(9)
+    for S, batch in ((12, ()), (10, (3,))):
+        n = trig.LOOKBACK + S * 9600 + trig.WINDOW
+        buf = (jnp.asarray(rng.normal(size=batch + (n,)).astype(np.float32)),
+               jnp.asarray(rng.normal(size=batch + (n,)).astype(np.float32)))
+        peak = jnp.asarray(rng.integers(0, 9600, size=(S,) + batch + (3,)),
+                           jnp.int32)
+        grid = trig.LOOKBACK + 9600 * jnp.arange(S, dtype=jnp.int32)
+        gridx = grid.reshape((S,) + (1,) * (len(batch) + 1))
+        starts = gridx + peak - trig.LOOKBACK + trig.SEG_OFF
+
+        ref = trig._gather_steps(buf, starts, trig.SEG)
+        dense = trig._extract_segs_dense(buf, jnp.int32(trig.LOOKBACK),
+                                         S, peak)
+        taa = trig._extract_segs_taa(buf, starts)
+        for a, b in zip(ref, dense):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(ref, taa):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
