@@ -350,7 +350,8 @@ def scan_pass(buffer: cplx.Pair, state: TriggerState, n_steps: int,
               psr_threshold,
               track_after: int = DEFAULT_TRACK_AFTER,
               track_every: int = DEFAULT_TRACK_EVERY,
-              n_valid=None, grid0_static: int | None = None):
+              n_valid=None, grid0_static: int | None = None,
+              pad_dynamic: bool = True):
     """Passes A+B: correlate and scan `n_steps` half-frame steps.
 
     buffer: pair of [..., N] float32 — >= LOOKBACK zeros/history before
@@ -380,9 +381,10 @@ def scan_pass(buffer: cplx.Pair, state: TriggerState, n_steps: int,
         grid0 = jnp.int32(grid0_static)
     else:
         grid0 = jnp.reshape(state.pos, (-1,))[0]
-        pad = jnp.zeros(buffer[0].shape[:-1] + (span_need,), jnp.float32)
-        buffer = (jnp.concatenate([buffer[0], pad], axis=-1),
-                  jnp.concatenate([buffer[1], pad], axis=-1))
+        if pad_dynamic:
+            pad = jnp.zeros(buffer[0].shape[:-1] + (span_need,), jnp.float32)
+            buffer = (jnp.concatenate([buffer[0], pad], axis=-1),
+                      jnp.concatenate([buffer[1], pad], axis=-1))
 
     def group_body(st, gi):
         lo = grid0 + gi * (g * HALF_FRAME_LENGTH)
@@ -698,7 +700,19 @@ def _decode_candidates(state0: TriggerState, buffer: cplx.Pair,
         n_k = jnp.where(restart, 0, n)
         q = jnp.mod(n_k[..., None] + jnp.arange(4, dtype=jnp.int32), 4)
         sel = jnp.take_along_axis(c_k, q[..., None, :, None], axis=-2)
-        acc_new = jnp.where((q == 0)[..., None, :, None], sel, acc + sel)
+        # a restart (loss or cell-id change) clears the accumulator for
+        # EVERY phase hypothesis, not just the q==0 one: phases 1-3
+        # otherwise add the new candidate's LLRs onto the PREVIOUS cell's
+        # accumulated energy, which can CRC-pass the old payload under the
+        # new (junk) cell id — the randomized sharded-vs-continuous
+        # property test caught exactly that (noise-tail SSS misdecodes
+        # publishing phantom cells with the real cell's MIB fields).
+        # Reference parity: srsLTE re-inits its PBCH state on cell change
+        # (lib/mib_impl.cc:148-160).
+        acc_base = jnp.where(restart[..., None, None, None],
+                             jnp.zeros_like(acc), acc)
+        acc_new = jnp.where((q == 0)[..., None, :, None], sel,
+                            acc_base + sel)
         acc_out = jnp.where(valid_k[..., None, None, None], acc_new, acc)
         n_out = jnp.where(valid_k, n_k + 1, n)
         cell_out = jnp.where(valid_k, cell_k, cell)
@@ -982,9 +996,22 @@ def scan_engine(buffer: cplx.Pair, state: TriggerState, n_steps: int,
     passes its halo'd extent, which exceeds its owned extent).
     returns: (final_state, StepOutput stacked [n_steps, ...])
     """
+    if grid0_static is None:
+        # one pad covering BOTH pass A's read-ahead and pass C's dense
+        # extraction span (grid0 is traced, so worst-case grid0 = N), done
+        # here so the postpass sees the same padded buffer as the scan
+        span_c = n_steps * HALF_FRAME_LENGTH + 640
+        pad = jnp.zeros(buffer[0].shape[:-1] + (span_c,), jnp.float32)
+        buffer = (jnp.concatenate([buffer[0], pad], axis=-1),
+                  jnp.concatenate([buffer[1], pad], axis=-1))
+    else:
+        # dense extraction reads [grid0 - 384, grid0 + n_steps*9600 + 256)
+        assert buffer[0].shape[-1] >= grid0_static + \
+            n_steps * HALF_FRAME_LENGTH + 256, "buffer too short for pass C"
+        assert grid0_static >= 384
     final, raw = scan_pass(buffer, state, n_steps, psr_threshold,
                            track_after, track_every, n_valid=n_valid,
-                           grid0_static=grid0_static)
+                           grid0_static=grid0_static, pad_dynamic=False)
     if data_valid is None:
         data_valid = n_valid
     return _mib_postpass(state, final, raw, buffer, data_valid=data_valid,

@@ -335,8 +335,14 @@ def _unpack_fields(bits):
     sfn = jnp.zeros(bits.shape[:-1], dtype=jnp.int32)
     for i in range(8):
         sfn = (sfn << 1) | bits[..., 6 + i]
+    # 36.331 6.2.2: the MIB's 10 spare bits are transmitted as zeros.
+    # srsLTE accepts any spare value (CRC-only gate); requiring zeros here
+    # cuts the CRC-collision false-publish rate by 2^10 — measured at ~7
+    # junk cells per 100 noisy 80 ms exposures without it (the randomized
+    # sharded-vs-continuous property test found them).
+    spare_zero = jnp.all(bits[..., 14:24] == 0, axis=-1)
     return {"nof_prb": nof_prb.astype(jnp.int32),
-            "bw_valid": (bw < 6),
+            "bw_valid": (bw < 6) & spare_zero,
             "phich_ext": phich_ext.astype(jnp.int32),
             "phich_res": phich_res.astype(jnp.int32),
             "sfn_offset": (sfn << 2).astype(jnp.int32)}

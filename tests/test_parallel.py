@@ -166,6 +166,12 @@ def test_time_sharded_matches_continuous_property():
     n_cases = 100
     divergences = []
 
+    # ONE compiled executable per engine for all cases (eager per-case
+    # execution mini-compiles every primitive; XLA:CPU leaks until it
+    # segfaults after ~100 cases)
+    continuous = jax.jit(
+        lambda buf: trig.scan_engine(buf, trig.init_state(), n_steps, 4.0))
+
     for case in range(n_cases):
         cell_id = int(rng.integers(0, 504))
         prb = int(rng.choice([6, 25, 50, 100]))
@@ -189,7 +195,7 @@ def test_time_sharded_matches_continuous_property():
         # continuous engine
         buf = _pairify(_padded(sig)[None])[0], _pairify(_padded(sig)[None])[1]
         buf = (buf[0][0], buf[1][0])
-        _, out_c = trig.scan_engine(buf, trig.init_state(), n_steps, 4.0)
+        _, out_c = continuous(buf)
         ev_c = np.asarray(out_c.track_event)
         ids_c = set(np.asarray(out_c.cell_id)[ev_c].tolist())
 

@@ -481,3 +481,27 @@ def test_seg_extract_paths_agree():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(ref, taa):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_no_phantom_cells_from_stale_tti_accumulator():
+    """After a cell's signal ends, the EMA-pinned peak keeps emitting over
+    the noise tail for a while and SSS misdecodes produce junk cell-id
+    candidates.  Those candidates must NEVER inherit the previous cell's
+    accumulated PBCH energy: before the fix, TTI phases 1-3 added the
+    noise LLRs onto the real cell's accumulator and CRC-passed its payload
+    under the junk id (phantom publishes — found by the sharded-vs-
+    continuous property test)."""
+    cell_id = 20
+    rng = np.random.default_rng(14)
+    total = 16 * 9600
+    frame = synth.synthesize_frame(cell_id, nof_prb_field=50)
+    sig = np.zeros(total, np.complex128)
+    sig[46880:46880 + 2 * 19200] = np.tile(frame, 2)
+    sp = np.mean(np.abs(frame) ** 2)
+    sigma = np.sqrt(sp / (2 * 10 ** 0.6))          # 6 dB SNR
+    sig += sigma * (rng.normal(size=total) + 1j * rng.normal(size=total))
+    buffer = _engine_buffer(sig.astype(np.complex64))
+
+    _, out = trig.scan_engine(buffer, trig.init_state(), 16, 4.0)
+    ids = set(np.asarray(out.cell_id)[np.asarray(out.track_event)].tolist())
+    assert ids == {cell_id}, f"phantom cells published: {ids - {cell_id}}"
