@@ -100,3 +100,18 @@ def test_cellstore_descriptor_matches_api():
                  "drop_cell"):
         assert callable(getattr(store, meth))
     assert "CellStore()" in d["templates"]["make"]
+
+
+def test_api_reference_not_stale():
+    """docs/API.md is a committed artifact generated from live docstrings
+    (the rendered-API-reference counterpart of the reference's doxygen
+    output); drift between code and the artifact fails here."""
+    import os
+    import subprocess
+    import sys
+
+    root = GRC_DIR.parent
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run([sys.executable, str(root / "docs" / "gen_api.py"),
+                        "--check"], capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
