@@ -677,12 +677,23 @@ class Trigger:
                         self.done = True
                         return
 
+    # rebase threshold (class attr so tests can exercise the wrap without
+    # streaming 4.7 minutes of samples).  MUST stay a multiple of 256 so
+    # the integer-CFO rotation phase (mod-256 arithmetic in
+    # _mirror_advance) is continuous across the shift.
+    REBASE_AT = 2 ** 29
+
     def _maybe_rebase(self) -> None:
         """Shift stream coordinates down before int32 pos could overflow
-        (every ~2^29 samples = ~4.7 min of stream)."""
-        if self._base < 2 ** 29 or self._outstanding:
+        (every ~2^29 samples = ~4.7 min of stream).  Safe with dispatches
+        in flight: outstanding outputs carry only per-step consumed deltas,
+        never absolute positions (a pipeline>0 stream's pipeline is NEVER
+        empty between flushes, so waiting for it would mean never
+        rebasing — the pre-round-4 guard did exactly that)."""
+        if self._base < self.REBASE_AT:
             return
-        delta = 2 ** 29
+        delta = self.REBASE_AT
+        assert delta % 256 == 0
         self._base -= delta
         self._pos_lb -= delta
         self._dev_base -= delta

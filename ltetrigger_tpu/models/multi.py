@@ -170,6 +170,26 @@ class MultiTrigger:
         fed = np.array([self._base + len(b) for b in self._bufs])
         return fed - self._pos_lb.min(axis=1)
 
+    # rebase threshold (class attr so tests can exercise the wrap without
+    # streaming 4.7 minutes of samples); multiple of 256 (see api.Trigger)
+    REBASE_AT = 2 ** 29
+
+    def _maybe_rebase(self) -> None:
+        """Shift the SHARED stream coordinate down before int32 pos could
+        overflow (every ~2^29 samples = ~4.7 min of stream).  Safe with
+        dispatches in flight (outputs carry only per-step deltas)."""
+        if self._base < self.REBASE_AT:
+            return
+        delta = self.REBASE_AT
+        assert delta % 256 == 0
+        self._base -= delta
+        self._pos_lb -= delta
+        self._dev_base -= delta
+        self._anchors = [deque((end - delta, t) for end, t in q)
+                         for q in self._anchors]
+        self._state = self._state._replace(
+            pos=self._state.pos - jnp.int32(delta))
+
     # ---------------------------------------------------------------------
     def process(self, stream: int, samples: np.ndarray) -> list[tuple[int,
                                                                       Cell]]:
@@ -182,6 +202,7 @@ class MultiTrigger:
         self._anchors[stream].append(
             (self._base + len(self._bufs[stream]), time.time()))
         published: list[tuple[int, Cell]] = []
+        self._maybe_rebase()
         self._pump(published, flush_mode=(self.pipeline == 0))
         return published
 
@@ -195,6 +216,7 @@ class MultiTrigger:
                 [self._bufs[i], np.asarray(c, dtype=np.complex64)])
             self._anchors[i].append((self._base + len(self._bufs[i]), t))
         published: list[tuple[int, Cell]] = []
+        self._maybe_rebase()
         self._pump(published, flush_mode=(self.pipeline == 0))
         return published
 

@@ -244,14 +244,15 @@ def _group_power(buffer: cplx.Pair, lo, g: int) -> jnp.ndarray:
     batch = buffer[0].shape[:-1]
     nb = span // SYMBOL_SZ
 
-    def blocks(offset):
-        br = jax.lax.dynamic_slice_in_dim(buffer[0], lo + offset, span, -1)
-        bi = jax.lax.dynamic_slice_in_dim(buffer[1], lo + offset, span, -1)
-        return jnp.concatenate([br.reshape(batch + (nb, SYMBOL_SZ)),
-                                bi.reshape(batch + (nb, SYMBOL_SZ))], -1)
-
-    x0 = blocks(0)                       # [..., g*75, 256]
-    x1 = blocks(SYMBOL_SZ)
+    # x1's row i is exactly x0's row i+1 (both are [re||im] 128-blocks at
+    # stride 128), so ONE materialized block matrix of nb+1 rows feeds
+    # both matmuls as static row slices — half the blocks() traffic.
+    br = jax.lax.dynamic_slice_in_dim(buffer[0], lo, span + SYMBOL_SZ, -1)
+    bi = jax.lax.dynamic_slice_in_dim(buffer[1], lo, span + SYMBOL_SZ, -1)
+    x = jnp.concatenate([br.reshape(batch + (nb + 1, SYMBOL_SZ)),
+                         bi.reshape(batch + (nb + 1, SYMBOL_SZ))], -1)
+    x0 = x[..., :-1, :]                  # [..., g*75, 256]
+    x1 = x[..., 1:, :]
     WL, WU = correlate._toeplitz_weights()
     dt = _pass_a_dtype()
     c = jnp.dot(x0.astype(dt), jnp.asarray(WL).astype(dt),

@@ -142,3 +142,41 @@ def test_multi_checkpoint_resume(tmp_path):
     assert evs["m1"] == evs["m2"]
     np.testing.assert_allclose(m1.mean_psr, m2.mean_psr, rtol=1e-5)
     np.testing.assert_array_equal(m1.tracking_score, m2.tracking_score)
+
+
+def test_rebase_preserves_detection(monkeypatch):
+    """Stream-coordinate rebase (int32 overflow protection, normally at
+    2^29 samples = ~4.7 min) must be transparent: detections and telemetry
+    continue across the wrap.  Threshold patched small so the test streams
+    seconds, not minutes."""
+    from ltetrigger_tpu.models import api
+    from tests.conftest import load_frame as lf
+
+    iq, cell_id, _ = lf(6)
+    sig = np.tile(iq, 16)
+
+    monkeypatch.setattr(api.Trigger, "REBASE_AT", 4 * 19200)
+    monkeypatch.setattr(MultiTrigger, "REBASE_AT", 4 * 19200)
+
+    # pipeline=0: fully-drained synchronous calls so stream positions
+    # advance per call on the slow CPU backend (on TPU the pipelined
+    # driver harvests continuously and hits the same path)
+    t1 = api.Trigger(psr_threshold=4, transport="f32", pipeline=0)
+    cells = []
+    for i in range(0, len(sig), 9600):
+        cells += t1.process(sig[i:i + 9600])
+    cells += t1.flush()
+    # stream-coordinate end < samples fed <=> coordinates were shifted down
+    assert t1._base + len(t1._buf) < len(sig), "rebase must have fired"
+    assert any(c.cell_id == cell_id for c in cells)
+    assert t1.tracking[cell_id % 3]
+
+    m = MultiTrigger(2, psr_threshold=4, transport="f32", pipeline=0)
+    ev = []
+    for i in range(0, len(sig), 9600):
+        ev += m.process_all([sig[i:i + 9600]] * 2)
+    ev += m.flush()
+    assert m._base + len(m._bufs[0]) < len(sig), \
+        "multi rebase must have fired"
+    for n in range(2):
+        assert m.stores[n].latest_cell().cell_id == cell_id
