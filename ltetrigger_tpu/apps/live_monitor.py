@@ -67,28 +67,95 @@ def run(stream, psr_threshold: float = 4.0, chunk_samples: int = 19200,
     trig.flush()                       # surface any still-pending events
 
 
+def run_multi(streams, psr_threshold: float = 4.0,
+              chunk_samples: int = 19200, refresh_every: int = 10,
+              out=sys.stdout, max_chunks=None,
+              transport: str = "i16") -> None:
+    """N sources -> ONE MultiTrigger pipeline (one SDR per carrier; the
+    reference needs one process per carrier).  Sources are read
+    round-robin one chunk each; a source that ends is padded with silence
+    (fill_gap semantics) so the group keeps flowing."""
+    from ..models.multi import MultiTrigger
+
+    n_streams = len(streams)
+
+    def on_track(stream_idx, cell):
+        print(json.dumps({"event": "track", "stream": stream_idx,
+                          **cell.to_dict()}), file=out, flush=True)
+
+    def on_drop(stream_idx, cell_id):
+        print(json.dumps({"event": "drop", "stream": stream_idx,
+                          "cell_id": cell_id}), file=out, flush=True)
+
+    trig = MultiTrigger(n_streams, psr_threshold=psr_threshold,
+                        on_track=on_track, on_drop=on_drop,
+                        transport=transport)
+    ended = [False] * n_streams
+    n = 0
+    t0 = time.time()
+    while max_chunks is None or n < max_chunks:
+        chunks = []
+        for i, st in enumerate(streams):
+            raw = b"" if ended[i] else st.read(chunk_samples * 8)
+            if not raw:
+                ended[i] = True
+                chunks.append(np.zeros(chunk_samples, np.complex64))
+            else:
+                chunks.append(np.frombuffer(raw, dtype=np.complex64))
+        if all(ended):
+            break
+        trig.process_all(chunks)
+        n += 1
+        if n % refresh_every == 0:
+            status = {
+                "t": round(time.time() - t0, 1),
+                "tracking_score": trig.tracking_score.tolist(),
+                "tracking": trig.tracking.tolist(),
+                "mean_psr": np.round(trig.mean_psr, 2).tolist(),
+                "mean_cfo": np.round(trig.mean_cfo, 4).tolist(),
+                "backlog": trig.backlog.tolist(),
+                "cells": [[c.cell_id for c in s.cells()]
+                          for s in trig.stores],
+                "stages": {name: round(st["mean_ms"], 3)
+                           for name, st in trig.timer.summary().items()},
+            }
+            print(json.dumps({"event": "status", **status}), file=out,
+                  flush=True)
+    trig.flush()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="live_monitor")
-    p.add_argument("source",
-                   help="'-' for stdin, or a path (FIFO / growing file) "
-                        "of raw complex64 at 1.92 Msps")
+    p.add_argument("sources", nargs="+",
+                   help="'-' for stdin, or path(s) (FIFO / growing file) of "
+                        "raw complex64 at 1.92 Msps; several paths monitor "
+                        "several carriers through ONE device pipeline")
     p.add_argument("--threshold", type=float, default=4.0)
     p.add_argument("--chunk", type=int, default=19200,
                    help="samples per read (default: one radio frame)")
     p.add_argument("--refresh", type=int, default=10,
                    help="status line every N chunks")
+    p.add_argument("--transport", default="i16",
+                   choices=("f32", "i16", "i8", "i4"),
+                   help="host->device sample encoding (multi-source only)")
     args = p.parse_args(argv)
 
-    stream = sys.stdin.buffer if args.source == "-" else \
-        open(args.source, "rb")
+    streams = [sys.stdin.buffer if s == "-" else open(s, "rb")
+               for s in args.sources]
     try:
-        run(stream, psr_threshold=args.threshold, chunk_samples=args.chunk,
-            refresh_every=args.refresh)
+        if len(streams) == 1:
+            run(streams[0], psr_threshold=args.threshold,
+                chunk_samples=args.chunk, refresh_every=args.refresh)
+        else:
+            run_multi(streams, psr_threshold=args.threshold,
+                      chunk_samples=args.chunk, refresh_every=args.refresh,
+                      transport=args.transport)
     except KeyboardInterrupt:
         pass
     finally:
-        if stream is not sys.stdin.buffer:
-            stream.close()
+        for st in streams:
+            if st is not sys.stdin.buffer:
+                st.close()
     return 0
 
 

@@ -137,3 +137,33 @@ def test_trigger_stage_timer():
         assert summary[name]["total_s"] > 0
     t.timer.reset()
     assert t.timer.summary() == {}
+
+
+def test_live_monitor_multi_source():
+    """Several IQ sources through one MultiTrigger pipeline: per-stream
+    track events, per-stream cell lists in the status, silence-padding for
+    a source that ends early."""
+    import io
+    import json as _json
+
+    from ltetrigger_tpu.apps import live_monitor
+    from tests.conftest import load_frame
+
+    iq, cell_id, _ = load_frame(6)
+    rng = np.random.default_rng(3)
+    sig = np.tile(iq, 10)
+    noise = (0.3 * (rng.normal(size=len(sig) // 2)
+                    + 1j * rng.normal(size=len(sig) // 2))) \
+        .astype(np.complex64)          # half-length: ends early -> fill_gap
+    out = io.StringIO()
+    live_monitor.run_multi([io.BytesIO(sig.tobytes()),
+                            io.BytesIO(noise.tobytes())],
+                           psr_threshold=4.0, refresh_every=2, out=out,
+                           transport="f32")
+    events = [_json.loads(line) for line in out.getvalue().splitlines()]
+    tracks = [e for e in events if e["event"] == "track"]
+    assert tracks and all(t["stream"] == 0 for t in tracks)
+    assert tracks[0]["cell_id"] == cell_id
+    status = [e for e in events if e["event"] == "status"][-1]
+    assert status["cells"][0] == [cell_id]
+    assert status["cells"][1] == []
