@@ -683,11 +683,33 @@ def _decode_candidates(state0: TriggerState, buffer: cplx.Pair,
 
     flat = (slot1[0].reshape((-1, SLOT_LENGTH)),
             slot1[1].reshape((-1, SLOT_LENGTH)))
-    both = jax.vmap(pbch.quarter_llrs_both_cp)(
-        flat, cand_cell.reshape(-1))          # [BRK, 2, 3, 4, 120]
-    both = both.reshape(batch + (R, k, 2, 3, 4, 120))
-    contrib = jnp.where(cand_cp[..., None, None, None],
-                        both[..., 1, :, :, :], both[..., 0, :, :, :])
+    cells_flat = cand_cell.reshape(-1)
+
+    # CP hypotheses: real batches are CP-uniform (a dispatch's candidates
+    # come from one or a few cells, and deployed cells are Normal-CP), so
+    # the common case runs ONE OFDM/chest/equalize front end instead of
+    # both — the front was ~20% of the decode stage (r4 attribution).
+    # Mixed-CP batches (synthetic/adversarial) take the both-CP path.
+    def one_cp(cp_flag: bool):
+        def f(_):
+            c = jax.vmap(lambda s0, s1, cid: pbch.pbch_quarter_llrs_slot1(
+                (s0, s1), cid, cp_flag))(flat[0], flat[1], cells_flat)
+            return c.reshape(batch + (R, k, 3, 4, 120))
+        return f
+
+    def mixed_cp(_):
+        both = jax.vmap(pbch.quarter_llrs_both_cp)(
+            flat, cells_flat)                 # [BRK, 2, 3, 4, 120]
+        both = both.reshape(batch + (R, k, 2, 3, 4, 120))
+        return jnp.where(cand_cp[..., None, None, None],
+                         both[..., 1, :, :, :], both[..., 0, :, :, :])
+
+    all_norm = jnp.all(cand_cp | ~valid)
+    all_ext = jnp.all((~cand_cp) | ~valid)
+    contrib = jax.lax.cond(
+        all_norm, one_cp(True),
+        lambda _: jax.lax.cond(all_ext, one_cp(False), mixed_cp, None),
+        None)
 
     # TTI soft-combining chain over the K slots (reference
     # srslte_ue_mib_decode's 40 ms frame buffer): 4 TTI-phase hypotheses,

@@ -505,3 +505,25 @@ def test_no_phantom_cells_from_stale_tti_accumulator():
     _, out = trig.scan_engine(buffer, trig.init_state(), 16, 4.0)
     ids = set(np.asarray(out.cell_id)[np.asarray(out.track_event)].tolist())
     assert ids == {cell_id}, f"phantom cells published: {ids - {cell_id}}"
+
+
+def test_mixed_cp_cells_same_dispatch():
+    """Two superimposed cells with DIFFERENT CP types on different N_id_2
+    roots must both decode from one dispatch — exercises the mixed-CP
+    decode branch (the uniform-CP fast paths cover real deployments)."""
+    norm = synth.synthesize_frame(210, nof_prb_field=25, normal_cp=True)
+    ext = synth.synthesize_frame(302, nof_prb_field=50, normal_cp=False)
+    assert 210 % 3 != 302 % 3
+    sig = np.concatenate([np.tile(norm, 6), np.tile(ext, 6)]) \
+        .astype(np.complex64)
+    buffer = _engine_buffer(sig)
+    _, out = trig.scan_engine(buffer, trig.init_state(), 24, 2.0)
+    te = np.asarray(out.track_event)
+    ids = set(np.asarray(out.cell_id)[te].tolist())
+    assert {210, 302} <= ids, f"got {ids}"
+    cp = np.asarray(out.normal_cp)
+    for s, r in zip(*np.where(te)):
+        if out.cell_id[s, r] == 210:
+            assert cp[s, r]
+        if out.cell_id[s, r] == 302:
+            assert not cp[s, r]
