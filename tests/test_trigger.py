@@ -527,3 +527,16 @@ def test_mixed_cp_cells_same_dispatch():
             assert cp[s, r]
         if out.cell_id[s, r] == 302:
             assert not cp[s, r]
+
+
+def test_integer_cfo_search_late_signal():
+    """A capture whose cell only appears AFTER the first 4 half-frames must
+    still probe the right integer-CFO bin (the probe windows are spread
+    across the buffer; probing only the head returned bin 0 here)."""
+    f = synth.synthesize_frame(200, nof_prb_field=50)
+    lead = np.zeros(5 * 9600, dtype=np.complex64)      # silent head
+    sig = np.concatenate([lead, np.tile(f, 8)])
+    n = np.arange(sig.size, dtype=np.float64)
+    rx = (sig * np.exp(2j * np.pi * 1.3 / 128.0 * n)).astype(np.complex64)
+    cells = api.search(rx, 1.92e6, max_seconds=0.5, cfo_search_range=2)
+    assert cells and cells[0].cell_id == 200
