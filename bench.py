@@ -87,7 +87,14 @@ def _make_buffer(channels: int, seconds: float):
 
 def _fenced_channel_scan(channels: int, n_steps: int, seconds: float,
                          iters: int):
-    """(best_seconds_per_dispatch, detections_ok)."""
+    """(best_seconds_per_dispatch, steady_state_best, detections_ok).
+
+    Two regimes: the headline re-acquires from FRESH state every timed
+    dispatch (acquisition + SSS + full MIB decode — the conservative
+    number), and the steady-state regime carries the TriggerState across
+    dispatches the way a monitoring deployment does (cells stay published,
+    so the postpass decode gate stays closed and pass C's heavy branch is
+    skipped — the engine's gating architecture paying off)."""
     buf = _make_buffer(channels, seconds)
     jax.block_until_ready(buf)
     final, out = channel_scan(buf, n_steps, 4.0)          # compile + warm
@@ -101,7 +108,22 @@ def _fenced_channel_scan(channels: int, n_steps: int, seconds: float,
     tracked = np.asarray(out.track_event)
     cids = np.asarray(out.cell_id)
     ok = bool(tracked.any()) and bool((cids[tracked] == 123).all())
-    return best, ok
+
+    # steady state: rewind pos (the bench buffer is a loop) but keep the
+    # acquired tracking/published state — compile + warm, then time
+    states = final._replace(pos=jnp.zeros_like(final.pos)
+                            + jnp.int32(trig.LOOKBACK))
+    final2, _o = channel_scan(buf, n_steps, 4.0, states=states)
+    _ = float(jnp.sum(final2.pos))
+    ss_best = float("inf")
+    for _ in range(iters):
+        st = final._replace(pos=jnp.zeros_like(final.pos)
+                            + jnp.int32(trig.LOOKBACK))
+        t0 = time.perf_counter()
+        final2, _o = channel_scan(buf, n_steps, 4.0, states=st)
+        _ = float(jnp.sum(final2.pos))
+        ss_best = min(ss_best, time.perf_counter() - t0)
+    return best, ss_best, ok
 
 
 def _stats(xs):
@@ -227,7 +249,8 @@ def main():
 
     stall = _pay_first_d2h()
 
-    best, ok = _fenced_channel_scan(channels, n_steps, seconds, iters)
+    best, ss_best, ok = _fenced_channel_scan(channels, n_steps, seconds,
+                                             iters)
     assert ok, "bench pipeline broken: capture cell not detected on device"
     samples = channels * n_steps * HALF_FRAME_LENGTH
     sps = samples / best
@@ -235,6 +258,7 @@ def main():
     extra = {
         "halfframe_steps_per_s": round(channels * n_steps / best, 1),
         "ms_per_dispatch": round(best * 1e3, 2),
+        "steady_state_sps": round(samples / ss_best, 1),
         "first_d2h_stall_s": round(stall, 1),
         "detections_checked": True,
     }
