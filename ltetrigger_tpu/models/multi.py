@@ -96,10 +96,23 @@ class MultiTrigger:
                  cellstores: Optional[Sequence[CellStore]] = None,
                  on_track: Optional[Callable[[int, Cell], None]] = None,
                  on_drop: Optional[Callable[[int, int], None]] = None,
-                 pipeline: int = 2, transport: str = "i16"):
+                 pipeline: int = 2, transport: str = "i16",
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a `ch` axis — the [N]
+        stream axis is sharded over it (parallel/mesh.make_mesh), so N
+        streams spread across chips with zero cross-device communication
+        in the scan (the host driver stays one process; n_streams must
+        divide by the `ch` axis size).  The same jitted programs serve
+        sharded and unsharded cases — shardings propagate from inputs."""
         assert transport in ("f32", "i16", "i8", "i4"), transport
         assert n_streams >= 1
         self.n = int(n_streams)
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            assert self.n % mesh.shape["ch"] == 0, \
+                "n_streams must divide by the mesh ch axis"
+            self._sharding = NamedSharding(mesh, P("ch"))
         self.transport = transport
         self.psr_threshold = ensure_safe_threshold(psr_threshold)
         self.track_after = track_after
@@ -118,6 +131,8 @@ class MultiTrigger:
         self._state = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (self.n,) + x.shape),
             trig.init_state(start_pos=0))
+        if self._sharding is not None:
+            self._state = jax.device_put(self._state, self._sharding)
         self._bufs = [np.zeros(LOOKBACK, dtype=np.complex64)
                       for _ in range(self.n)]
         self._base = -LOOKBACK            # stream index of _bufs[i][0]
@@ -316,11 +331,19 @@ class MultiTrigger:
         z = np.zeros(pad, dt)
         return np.concatenate([qr, z]), np.concatenate([qi, z]), peak / lim
 
+    def _put(self, x):
+        """Move a [N, ...] host array to device, sharded over `ch` when a
+        mesh was given (sharding then propagates through every jit)."""
+        return x if self._sharding is None else \
+            jax.device_put(x, self._sharding)
+
     def _sync_device_window(self, hi: int) -> None:
         lo = int(self._pos_lb.min()) - LOOKBACK
         if self._dev is None or lo >= self._dev_base + self._dev_len:
-            self._dev = (jnp.zeros((self.n, self._cap), jnp.float32),
-                         jnp.zeros((self.n, self._cap), jnp.float32))
+            self._dev = (self._put(jnp.zeros((self.n, self._cap),
+                                             jnp.float32)),
+                         self._put(jnp.zeros((self.n, self._cap),
+                                             jnp.float32)))
             self._dev_base = lo
             self._dev_len = 0
         shift = 0
@@ -349,15 +372,16 @@ class MultiTrigger:
             rows = [(z, None if self.transport == "i4" else z, 1.0)
                     for _ in range(self.n)]
             have_end = hi
-        scale = jnp.asarray(np.array([r[2] for r in rows], np.float32))
+        scale = self._put(jnp.asarray(np.array([r[2] for r in rows],
+                                               np.float32)))
         woff = jnp.int32(have_end - new_base)
         if self.transport == "i4":
-            up = jnp.asarray(np.stack([r[0] for r in rows]))
+            up = self._put(jnp.asarray(np.stack([r[0] for r in rows])))
             self._dev = _mmirror_advance_i4(self._dev[0], self._dev[1], up,
                                             scale, jnp.int32(shift), woff)
         else:
-            up_r = jnp.asarray(np.stack([r[0] for r in rows]))
-            up_i = jnp.asarray(np.stack([r[1] for r in rows]))
+            up_r = self._put(jnp.asarray(np.stack([r[0] for r in rows])))
+            up_i = self._put(jnp.asarray(np.stack([r[1] for r in rows])))
             self._dev = _mmirror_advance(self._dev[0], self._dev[1], up_r,
                                          up_i, scale, jnp.int32(shift), woff)
         self._dev_base = new_base
@@ -452,6 +476,8 @@ class MultiTrigger:
         kw = {k[len("state_"):]: jnp.asarray(data[k])
               for k in data.files if k.startswith("state_")}
         self._state = trig.TriggerState(**kw)
+        if self._sharding is not None:
+            self._state = jax.device_put(self._state, self._sharding)
         self._pos_lb = np.asarray(data["state_pos"]).astype(np.int64)
         self._outstanding.clear()
         self._disp_steps = 0
