@@ -124,7 +124,9 @@ SEG_OFF = SLOT_LENGTH - SEG
 class TriggerState(NamedTuple):
     """Carry across dispatches (trailing [R] per channel)."""
     pos: jnp.ndarray          # [R] int32 — next grid position (all equal)
-    ema: jnp.ndarray          # [R, 9600] f32 — EMA'd correlation power
+    ema: jnp.ndarray          # [75, R, 128] f32 — EMA'd correlation power
+    #   (block layout: flat grid bin = 128*block + lane; pass A produces
+    #   this layout natively, so the hot loop never transposes it)
     score: jnp.ndarray        # [R] int32
     timer: jnp.ndarray        # [R] int32
     tracking: jnp.ndarray     # [R] bool
@@ -182,7 +184,8 @@ def init_state(start_pos: int = LOOKBACK) -> TriggerState:
     z = jnp.zeros
     return TriggerState(
         pos=jnp.full((R,), start_pos, dtype=jnp.int32),
-        ema=z((R, HALF_FRAME_LENGTH), jnp.float32),
+        ema=z((HALF_FRAME_LENGTH // SYMBOL_SZ, R, SYMBOL_SZ),
+              jnp.float32),
         score=z((R,), jnp.int32),
         timer=z((R,), jnp.int32),
         tracking=z((R,), bool),
@@ -231,8 +234,14 @@ def _group_power(buffer: cplx.Pair, lo, g: int) -> jnp.ndarray:
     """Correlation power for g consecutive grid steps starting at `lo`.
 
     buffer: pair of [..., N]; lo: traced scalar start (grid of step 0).
-    returns [g, ..., 3, 9600] float32 — power[t, ..., r, i] is the matched-
-    filter power of root r at stream position lo + 9600*t + i.
+    returns [..., g, 75, 3, 128] float32 in pass A's NATIVE block layout —
+    power[..., t, b, r, m] is the matched-filter power of root r at stream
+    position lo + 9600*t + 128*b + m.  Batch-first and block-structured on
+    purpose: the round-4 device trace showed the old [g, .., R, 9600]
+    relayout (two transposes of the full power tensor) at ~20% of the
+    whole dispatch; pass B now consumes this layout directly
+    (peak_and_psr_blocked) and slices its per-step input by index instead
+    of requiring a leading step axis.
 
     One blocked-Toeplitz matmul for the whole group (see ops/correlate.py
     for the WL/WU construction): the g*9600 candidate positions tile into
@@ -260,10 +269,7 @@ def _group_power(buffer: cplx.Pair, lo, g: int) -> jnp.ndarray:
         + jnp.dot(x1.astype(dt), jnp.asarray(WU).astype(dt),
                   preferred_element_type=jnp.float32)   # [..., g*75, 768]
     c = c.reshape(batch + (g, 75, R, 2, SYMBOL_SZ))
-    p = c[..., 0, :] ** 2 + c[..., 1, :] ** 2           # [..., g, 75, R, 128]
-    p = jnp.moveaxis(p, -3, -2)                         # [..., g, R, 75, 128]
-    p = p.reshape(batch + (g, R, HALF_FRAME_LENGTH))
-    return jnp.moveaxis(p, len(batch), 0)               # [g, ..., R, 9600]
+    return c[..., 0, :] ** 2 + c[..., 1, :] ** 2        # [..., g, 75, R, 128]
 
 
 def _pick_group(n_steps: int, batch: int) -> int:
@@ -287,10 +293,12 @@ def _step_core(state: TriggerState, power, grid, active, psr_threshold,
     search = (~state.tracking) | (state.timer == 0)
     timer = jnp.where(search, track_every, state.timer - 1)
 
-    ema = jnp.where(search[..., None],
+    # power/ema ride in pass A's native [.., 75, R, 128] block layout;
+    # masks shaped [.., R] broadcast as [.., 1, R, 1]
+    ema = jnp.where(search[..., None, :, None],
                     PSR_EMA_ALPHA * power + (1 - PSR_EMA_ALPHA) * state.ema,
                     state.ema)
-    peak_new, psr_new = correlate.peak_and_psr(ema)
+    peak_new, psr_new = correlate.peak_and_psr_blocked(ema)
     psr = jnp.where(search, psr_new, state.psr)
     peak = jnp.where(search, peak_new, state.peak)
 
@@ -308,7 +316,8 @@ def _step_core(state: TriggerState, power, grid, active, psr_threshold,
     score = jnp.where(over, score_inc, 0)
     tracking = jnp.where(over, state.tracking | crossing,
                          jnp.zeros_like(state.tracking))
-    ema = jnp.where((crossing | lost)[..., None], jnp.zeros_like(ema), ema)
+    ema = jnp.where((crossing | lost)[..., None, :, None],
+                    jnp.zeros_like(ema), ema)
     timer = jnp.where(lost, 0, timer)
     psr_ring = jnp.where(lost[..., None], 0.0, psr_ring)
     psr_count = jnp.where(lost, 0, psr_count)
@@ -387,19 +396,24 @@ def scan_pass(buffer: cplx.Pair, state: TriggerState, n_steps: int,
             buffer = (jnp.concatenate([buffer[0], pad], axis=-1),
                       jnp.concatenate([buffer[1], pad], axis=-1))
 
+    nbatch = buffer[0].ndim - 1
+
     def group_body(st, gi):
         lo = grid0 + gi * (g * HALF_FRAME_LENGTH)
-        power = _group_power(buffer, lo, g)          # [g, ..., R, 9600]
+        power = _group_power(buffer, lo, g)          # [.., g, 75, R, 128]
 
-        def stepf(st2, xs):
-            p_t, ti = xs
+        def stepf(st2, ti):
+            # per-step power by scalar-index slice along the g axis — a
+            # contiguous batch-first read, NOT a relayout (the step axis
+            # never has to lead)
+            p_t = jax.lax.dynamic_index_in_dim(power, ti, axis=nbatch,
+                                               keepdims=False)
             grid = lo + ti * HALF_FRAME_LENGTH
             active = grid + correlate.V2_WINDOW <= n_valid
             return _step_core(st2, p_t, grid, active, thresh,
                               track_after, track_every)
 
-        return jax.lax.scan(stepf, st,
-                            (power, jnp.arange(g, dtype=jnp.int32)))
+        return jax.lax.scan(stepf, st, jnp.arange(g, dtype=jnp.int32))
 
     final, raws = jax.lax.scan(group_body, state,
                                jnp.arange(n_groups, dtype=jnp.int32))

@@ -269,6 +269,60 @@ def default_power_diag(window: cplx.Pair) -> jnp.ndarray:
     return pss_correlate_power_diag(window, matmul_dtype=dtype)
 
 
+def peak_and_psr_blocked(power: jnp.ndarray, lobe_limit: int = 64):
+    """peak_and_psr on BLOCK-structured power [..., 75, R, 128] — the
+    layout pass A produces naturally ([g*75, R, 2, 128] matmul outputs),
+    so the engine's hot loop never pays the [75, R] -> [R, 9600]
+    transpose (the device trace showed that relayout at ~20% of the
+    whole dispatch).  Bit-identical to peak_and_psr on the flattened
+    [..., R, 9600] view, including argmax tie order (block-major flatten
+    == row-major first occurrence).
+
+    returns: (peak_pos int32 [..., R] in [0, 9600), psr float32 [..., R])
+    """
+    nb, nm = power.shape[-3], power.shape[-1]        # 75, 128
+    # two-stage argmax == flat first-occurrence argmax
+    in_max = jnp.max(power, axis=-1)                 # [.., 75, R]
+    in_arg = jnp.argmax(power, axis=-1)              # [.., 75, R]
+    blk = jnp.argmax(jnp.moveaxis(in_max, -2, -1), axis=-1)   # [.., R]
+    m = jnp.take_along_axis(jnp.moveaxis(in_arg, -2, -1),
+                            blk[..., None], axis=-1)[..., 0]
+    peak = (blk * nm + m).astype(jnp.int32)
+    pk_val = jnp.max(in_max, axis=-2)                # [.., R]
+
+    # flattened index of every element, broadcast against [.., 75, R, 128]
+    idx = (jnp.arange(nb, dtype=jnp.int32)[:, None, None] * nm
+           + jnp.arange(nm, dtype=jnp.int32)[None, None, :])
+    rel = idx - peak[..., None, :, None]             # [.., 75, R, 128]
+
+    # next element in flat order: within-block shift; block boundary takes
+    # the next block's first element; the very last element duplicates
+    # itself (flat semantics: its "rise" is False)
+    nxt_first = jnp.concatenate(
+        [power[..., 1:, :, 0:1],
+         power[..., nb - 1:nb, :, nm - 1:nm]], axis=-3)
+    shifted = jnp.concatenate([power[..., 1:], nxt_first], axis=-1)
+    rise = shifted > power
+    right_cand = jnp.where((rel >= 1) & (rel <= lobe_limit) & rise,
+                           rel, lobe_limit)
+    right_edge = jnp.min(right_cand, axis=(-3, -1))  # [.., R]
+
+    prv_last = jnp.concatenate(
+        [power[..., 0:1, :, 0:1],
+         power[..., :nb - 1, :, nm - 1:nm]], axis=-3)
+    shiftedl = jnp.concatenate([prv_last, power[..., :-1]], axis=-1)
+    risel = shiftedl > power
+    left_cand = jnp.where((-rel >= 1) & (-rel <= lobe_limit) & risel,
+                          -rel, lobe_limit)
+    left_edge = jnp.min(left_cand, axis=(-3, -1))
+
+    in_lobe = (rel >= -left_edge[..., None, :, None]) \
+        & (rel <= right_edge[..., None, :, None])
+    side = jnp.max(jnp.where(in_lobe, 0.0, power), axis=(-3, -1))
+    psr = pk_val / jnp.maximum(side, 1e-30)
+    return peak, psr.astype(jnp.float32)
+
+
 def peak_and_psr(power: jnp.ndarray, lobe_limit: int = 64):
     """Peak position and peak-to-sidelobe ratio (power domain).
 

@@ -357,3 +357,27 @@ class TestRationalResample:
         cells = api.search(wide, 3.0e6, psr_threshold=4, max_seconds=0.4)
         assert cells and cells[0].cell_id == cell_id
         assert cells[0].nof_prb == 6
+
+
+def test_peak_and_psr_blocked_matches_flat():
+    """The block-layout peak/PSR (engine hot path) must be bit-identical to
+    the flat formulation, including argmax tie order and lobe-walk edges."""
+    import jax.numpy as jnp
+
+    from ltetrigger_tpu.ops import correlate
+
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        p = rng.random((2, 3, 9600)).astype(np.float32)
+        if trial == 1:      # exact ties
+            p[(p > 0.99)] = 1.5
+            p[0, 0, 0] = 1.5
+            p[0, 0, 9599] = 1.5
+        if trial == 2:      # peak at block boundaries
+            p[0, :, 128 * 40 - 1] = 3.0
+            p[1, :, 128 * 40] = 3.0
+        pk_f, psr_f = correlate.peak_and_psr(jnp.asarray(p))
+        blocked = jnp.asarray(p.reshape(2, 3, 75, 128).transpose(0, 2, 1, 3))
+        pk_b, psr_b = correlate.peak_and_psr_blocked(blocked)
+        np.testing.assert_array_equal(np.asarray(pk_f), np.asarray(pk_b))
+        np.testing.assert_array_equal(np.asarray(psr_f), np.asarray(psr_b))
