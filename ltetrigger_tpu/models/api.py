@@ -404,6 +404,14 @@ class Trigger:
         return np.asarray(self._state.cap_overflow)
 
     @property
+    def backlog(self) -> int:
+        """Samples fed but not yet scanned.  A producer pacing itself at
+        real time never grows this; a faster-than-pipeline producer should
+        throttle on it (the host buffer is unbounded by design — dropping
+        samples is the APP's decision, not the detector's)."""
+        return (self._base + len(self._buf)) - int(self._pos_lb.min())
+
+    @property
     def tracking(self):
         return np.asarray(self._state.tracking)
 

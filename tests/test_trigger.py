@@ -540,3 +540,14 @@ def test_integer_cfo_search_late_signal():
     rx = (sig * np.exp(2j * np.pi * 1.3 / 128.0 * n)).astype(np.complex64)
     cells = api.search(rx, 1.92e6, max_seconds=0.5, cfo_search_range=2)
     assert cells and cells[0].cell_id == 200
+
+
+def test_trigger_backlog_property():
+    iq, _, _ = load_frame(6)
+    t = api.Trigger(psr_threshold=4, pipeline=0)
+    assert t.backlog == 0
+    t.process(np.tile(iq, 2))
+    t.flush()
+    # the correlator reads 128 samples past a grid position, so the final
+    # half-frame stays buffered until more samples arrive
+    assert 0 <= t.backlog <= 9600 + 128
