@@ -145,6 +145,11 @@ class TriggerState(NamedTuple):
     pending_fresh: jnp.ndarray  # [R] bool — loss seen since last capture
     cap_overflow: jnp.ndarray   # [R] int32 — captures deferred (all K slots
     #   of a dispatch full; observable deferral, see module docstring)
+    chest: jnp.ndarray        # [R, 62, 2] f32 — LS channel estimate over
+    #   the 62 PSS subcarriers from the most recent tracked half-frame
+    #   (reference srslte_pss_chest into d_channel_estimation_buffer,
+    #   lib/pss_impl.cc:206-209; telemetry, like the reference's — computed
+    #   on the CFO-corrected PSS symbol, never consumed downstream)
 
 
 class RawStepOutput(NamedTuple):
@@ -203,6 +208,7 @@ def init_state(start_pos: int = LOOKBACK) -> TriggerState:
         mib_cell=jnp.full((R,), -1, dtype=jnp.int32),
         pending_fresh=jnp.ones((R,), dtype=bool),
         cap_overflow=z((R,), jnp.int32),
+        chest=z((R, 62, 2), jnp.float32),
     )
 
 
@@ -859,6 +865,25 @@ def _mib_postpass(state0: TriggerState, final: TriggerState,
         # ---- rotate, CP detect, SSS (reference sss block, sss_impl.cc) ----
         freq = jnp.where(raw.tracking, -cfo_mean / SYMBOL_SZ, 0.0)
         sf = cfo_ops.cfo_rotate(seg, freq, SEG_OFF)
+
+        # ---- PSS LS channel estimate on tracked half-frames ----
+        # (reference computes srslte_pss_chest right after cfo_correct,
+        # lib/pss_impl.cc:204-206; the carry keeps the LAST tracked step's
+        # estimate per root, selected closed-form over the step axis)
+        from ..ops import dft
+        pss_rot = cplx.index(sf, (..., slice(SEG - SYMBOL_SZ, SEG)))
+        Y62 = dft.dft_sync(pss_rot)                       # [S, .., R, 62]
+        fr62, fi62 = cfo_ops.chest_replicas()
+        chv = cplx.mul_conj(Y62, (jnp.asarray(fr62), jnp.asarray(fi62)))
+        tt_c = jnp.arange(s, dtype=jnp.int32).reshape(
+            (s,) + (1,) * (push.ndim - 1))
+        last_push = jax.lax.cummax(jnp.where(push, tt_c, -1), axis=0)[-1]
+        pick = (push & (tt_c == last_push[None]))[..., None, None]
+        ch_stack = jnp.stack(chv, axis=-1)                # [S, .., R, 62, 2]
+        chest_f = jnp.where((last_push >= 0)[..., None, None],
+                            jnp.sum(jnp.where(pick, ch_stack, 0.0), axis=0),
+                            state0.chest)
+
         normal_cp = sync.detect_cp(sf, end=SEG)
         nid2 = jnp.arange(R, dtype=jnp.int32)
         n_id_1, sub5 = sync.sss_decode(sf, nid2, normal_cp, end=SEG)
@@ -934,6 +959,7 @@ def _mib_postpass(state0: TriggerState, final: TriggerState,
             mib_n=n_f, mib_cell=cell_f,
             pending_fresh=pf_f,
             cap_overflow=state0.cap_overflow + overflow,
+            chest=chest_f,
         )
         return (new_final, track_event, raw.lost, fld(prb_rk),
                 fld(ports_rk), fld(pext_rk), fld(pres_rk), fld(sfn_rk),

@@ -61,13 +61,21 @@ def cfo_rotate(x: cplx.Pair, freq, offset: int) -> cplx.Pair:
     return cplx.mul(x, cplx.expi(theta))
 
 
+@functools.lru_cache(maxsize=None)
+def chest_replicas():
+    """[3, 62] float32 (re, im) frequency-domain PSS replicas (numpy)."""
+    return cplx.const(pssmod.pss_freq_occupied())
+
+
 def pss_chest(pss_symbol: cplx.Pair, n_id_2: int) -> cplx.Pair:
     """LS channel estimate over the 62 PSS subcarriers.
 
-    Computed-but-unconsumed in the reference (lib/pss_impl.cc:206-209,
-    SURVEY §2.2); kept as telemetry here.
+    Computed on every tracked half-frame by the reference
+    (lib/pss_impl.cc:206-209) into a telemetry buffer; the grid engine
+    computes the same estimate in pass C (models/trigger.py) and surfaces
+    it as `Trigger.channel_estimate`.
     """
     Y = dft.dft_sync(pss_symbol)
-    fr, fi = cplx.const(pssmod.pss_freq_occupied())
+    fr, fi = chest_replicas()
     rep = (jnp.asarray(fr)[n_id_2], jnp.asarray(fi)[n_id_2])
     return cplx.mul_conj(Y, rep)

@@ -182,6 +182,46 @@ def test_rebase_preserves_detection(monkeypatch):
         assert m.stores[n].latest_cell().cell_id == cell_id
 
 
+def test_multi_streaming_integer_cfo_acquisition(tmp_path):
+    """Mirror of test_trigger.py::test_streaming_integer_cfo_acquisition
+    for the multi path (VERDICT r4 weak #5): stream 0 carries a cell at a
+    +1.3-subcarrier offset (invisible to the plain matched filter), stream
+    1 an on-frequency cell.  cfo_search_range=2 must acquire BOTH — the
+    probe rotates only the offset stream's mirror rows — and the probed
+    bins survive checkpoint/resume."""
+    f = synth.synthesize_frame(200, nof_prb_field=50)
+    sig = np.tile(f, 12)
+    n = np.arange(sig.size, dtype=np.float64)
+    rx_off = (sig * np.exp(2j * np.pi * 1.3 / 128.0 * n)) \
+        .astype(np.complex64)
+    iq, cell_id, _ = load_frame(6)
+    rx_on = np.tile(iq, 12)[:rx_off.size]
+
+    plain = MultiTrigger(2, psr_threshold=4)
+    for i in range(0, len(rx_off), CHUNK):
+        plain.process_all([rx_off[i:i + CHUNK], rx_on[i:i + CHUNK]])
+    plain.flush()
+    assert plain.stores[0].cells() == [], \
+        "the uncorrected filter must NOT see a 1.3-sc offset cell"
+    assert plain.stores[1].latest_cell().cell_id == cell_id
+
+    m = MultiTrigger(2, psr_threshold=4, cfo_search_range=2)
+    for i in range(0, len(rx_off), CHUNK):
+        m.process_all([rx_off[i:i + CHUNK], rx_on[i:i + CHUNK]])
+    m.flush()
+    assert m.stores[0].latest_cell() is not None \
+        and m.stores[0].latest_cell().cell_id == 200
+    assert m.stores[1].latest_cell().cell_id == cell_id
+    assert m._cfo_bins[0] != 0, "stream 0 must have acquired via a probe"
+    assert m._cfo_bins[1] == 0, "on-frequency stream must stay unrotated"
+
+    ckpt = str(tmp_path / "multi_cfo.npz")
+    m.save_state(ckpt)
+    m2 = MultiTrigger(2, psr_threshold=4, cfo_search_range=2)
+    m2.load_state(ckpt)
+    np.testing.assert_array_equal(m2._cfo_bins, m._cfo_bins)
+
+
 def test_multi_sharded_over_mesh_matches_unsharded():
     """8 streams sharded over an 8-device `ch` mesh produce exactly the
     unsharded events and telemetry (the [N] axis partitions with zero

@@ -542,6 +542,48 @@ def test_integer_cfo_search_late_signal():
     assert cells and cells[0].cell_id == 200
 
 
+def test_channel_estimate_telemetry():
+    """Trigger.channel_estimate (reference srslte_pss_chest telemetry,
+    lib/pss_impl.cc:206-209): on a flat channel the 62-subcarrier LS
+    estimate is flat; through a 2-tap multipath channel its magnitude
+    profile matches the channel's analytic |H(f)| at the PSS subcarriers."""
+    cell_id = 150
+    f = synth.synthesize_frame(cell_id, nof_prb_field=50)
+    root = cell_id % 3
+    ks = np.r_[np.arange(-31, 0), np.arange(1, 32)]      # subcarrier order
+
+    def run(sig):
+        t = api.Trigger(psr_threshold=4, transport="f32")
+        for i in range(0, len(sig), 19200):
+            t.process(sig[i:i + 19200])
+        t.flush()
+        return t
+
+    # flat channel
+    sig = np.tile(f, 12).astype(np.complex64)
+    t = run(sig)
+    assert t.tracking[root]
+    ch = t.channel_estimate[root]
+    assert np.abs(ch).min() > 0, "chest must be populated once tracking"
+    flat = np.abs(ch)
+    assert flat.std() / flat.mean() < 0.1, "flat channel must look flat"
+    # untracked roots keep zeros
+    other = [r for r in range(3) if r != root]
+    assert np.all(t.channel_estimate[other] == 0)
+
+    # 2-tap channel: h = [1, 0, 0.5] -> |H(k)| = |1 + 0.5 e^{-2pi i 2k/128}|
+    taps = [(0, 1.0), (2, 0.5)]
+    faded = synth.multipath_channel(np.tile(f, 12), taps).astype(np.complex64)
+    t2 = run(faded)
+    assert t2.tracking[root]
+    got = np.abs(t2.channel_estimate[root])
+    want = np.abs(1.0 + 0.5 * np.exp(-2j * np.pi * 2 * ks / 128.0))
+    cos = np.dot(got, want) / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.98, f"chest magnitude profile off: cos={cos}"
+    # and the profile is genuinely non-flat (the notch is visible)
+    assert got.max() / got.min() > 1.5
+
+
 def test_trigger_backlog_property():
     iq, _, _ = load_frame(6)
     t = api.Trigger(psr_threshold=4, pipeline=0)
