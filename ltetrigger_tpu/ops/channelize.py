@@ -54,11 +54,12 @@ def _phase_tables(offsets_norm: np.ndarray, start: int, nb: int):
         .astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("ratio", "n_chunks"))
+@functools.partial(jax.jit, static_argnames=("ratio", "n_chunks",
+                                             "chunk_blocks"))
 def _channelize_scan(xpad: cplx.Pair, origins, ramps, ratio: int,
-                     n_chunks: int):
+                     n_chunks: int, chunk_blocks: int = CHUNK_BLOCKS):
     """The whole channelizer as ONE device program: a lax.scan over chunks
-    (each chunk = CHUNK_BLOCKS payload blocks + 1 context block per side;
+    (each chunk = chunk_blocks payload blocks + 1 context block per side;
     transients trimmed), keeping HBM pressure bounded at one chunk's
     rotation intermediates while the full decimated [C, n_chunks*chunk/
     ratio] output accumulates on device.
@@ -69,12 +70,16 @@ def _channelize_scan(xpad: cplx.Pair, origins, ramps, ratio: int,
 
     origins: [n_chunks, C, nb] f32 mod-1 phase at each block start
     ramps:   [C, BLOCK] f32 mod-1 in-block phase ramp
-    returns: pair of [C, n_chunks * CHUNK_BLOCKS*BLOCK // ratio]
+    returns: pair of [C, n_chunks * chunk_blocks*BLOCK // ratio]
+
+    Also the compute core of the STREAMING wideband front end
+    (models/wideband.WidebandTrigger), which feeds segments whose context
+    blocks are real stream samples instead of zero padding.
     """
     c = ramps.shape[0]
-    nb = CHUNK_BLOCKS + 2
+    nb = chunk_blocks + 2
     lp = nb * BLOCK
-    chunk = CHUNK_BLOCKS * BLOCK
+    chunk = chunk_blocks * BLOCK
     trim = BLOCK // ratio
 
     def body(_, xs):
