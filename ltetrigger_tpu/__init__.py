@@ -57,6 +57,9 @@ def __getattr__(name):
     if name == "MultiTrigger":
         from .models.multi import MultiTrigger
         return MultiTrigger
+    if name == "WidebandTrigger":
+        from .models.wideband import WidebandTrigger
+        return WidebandTrigger
     if name == "CellStore":
         from .runtime.cellstore import CellStore
         return CellStore

@@ -124,32 +124,111 @@ def run_multi(streams, psr_threshold: float = 4.0,
     trig.flush()
 
 
+def run_wideband(stream, sample_rate: float, centers,
+                 psr_threshold: float = 4.0, chunk_samples: int = 0,
+                 refresh_every: int = 10, out=sys.stdout, max_chunks=None,
+                 transport: str = "i8") -> None:
+    """ONE wideband source -> N monitored carriers (WidebandTrigger): one
+    SDR and one upload stream replace N per-carrier pipes (the reference
+    needs one process AND one SDR per carrier).  `stream` carries raw
+    complex64 at `sample_rate` (an integer multiple of 1.92 MHz)."""
+    from ..models.wideband import WidebandTrigger
+
+    ratio = int(round(sample_rate / 1.92e6))
+    if not chunk_samples:
+        chunk_samples = 19200 * ratio          # one radio frame of band
+
+    def on_track(stream_idx, cell):
+        print(json.dumps({"event": "track", "stream": stream_idx,
+                          "center_offset_hz": centers[stream_idx],
+                          **cell.to_dict()}), file=out, flush=True)
+
+    def on_drop(stream_idx, cell_id):
+        print(json.dumps({"event": "drop", "stream": stream_idx,
+                          "center_offset_hz": centers[stream_idx],
+                          "cell_id": cell_id}), file=out, flush=True)
+
+    trig = WidebandTrigger(sample_rate, centers,
+                           psr_threshold=psr_threshold,
+                           on_track=on_track, on_drop=on_drop,
+                           transport=transport)
+    n = 0
+    t0 = time.time()
+    while max_chunks is None or n < max_chunks:
+        raw = stream.read(chunk_samples * 8)
+        if not raw:
+            break
+        trig.process_wide(np.frombuffer(raw, dtype=np.complex64))
+        n += 1
+        if n % refresh_every == 0:
+            status = {
+                "t": round(time.time() - t0, 1),
+                "centers_hz": centers,
+                "tracking_score": trig.tracking_score.tolist(),
+                "tracking": trig.tracking.tolist(),
+                "mean_psr": np.round(trig.mean_psr, 2).tolist(),
+                "mean_cfo": np.round(trig.mean_cfo, 4).tolist(),
+                "backlog": trig.backlog.tolist(),
+                "cells": [[c.cell_id for c in s.cells()]
+                          for s in trig.stores],
+                "stages": {name: round(st["mean_ms"], 3)
+                           for name, st in trig.timer.summary().items()},
+            }
+            print(json.dumps({"event": "status", **status}), file=out,
+                  flush=True)
+    trig.flush()
+
+
 def main(argv=None) -> int:
+    from ..utils.eng_notation import str_to_num
+
     p = argparse.ArgumentParser(prog="live_monitor")
     p.add_argument("sources", nargs="+",
                    help="'-' for stdin, or path(s) (FIFO / growing file) of "
                         "raw complex64 at 1.92 Msps; several paths monitor "
                         "several carriers through ONE device pipeline")
     p.add_argument("--threshold", type=float, default=4.0)
-    p.add_argument("--chunk", type=int, default=19200,
+    p.add_argument("--chunk", type=int, default=0,
                    help="samples per read (default: one radio frame)")
     p.add_argument("--refresh", type=int, default=10,
                    help="status line every N chunks")
-    p.add_argument("--transport", default="i16",
+    p.add_argument("--transport", default=None,
                    choices=("f32", "i16", "i8", "i4"),
-                   help="host->device sample encoding (multi-source only)")
+                   help="host->device sample encoding (default: i16 for "
+                        "narrow multi-source, i8 for --wideband)")
+    p.add_argument("--wideband", action="store_true",
+                   help="the single source is a WIDE band; channelize on "
+                        "device to --centers (one SDR, N carriers)")
+    p.add_argument("-s", "--sample-rate", type=str, default="1.92M",
+                   help="wideband input rate, eng notation (with "
+                        "--wideband; integer multiple of 1.92M)")
+    p.add_argument("--centers", type=str, default="0",
+                   help="comma-separated carrier offsets from band center, "
+                        "eng notation (with --wideband), e.g. "
+                        "-5.76M,-1.92M,1.92M,5.76M")
     args = p.parse_args(argv)
 
     streams = [sys.stdin.buffer if s == "-" else open(s, "rb")
                for s in args.sources]
     try:
-        if len(streams) == 1:
+        if args.wideband:
+            assert len(streams) == 1, "--wideband takes exactly one source"
+            centers = [str_to_num(tok) for tok in args.centers.split(",")
+                       if tok.strip()]
+            run_wideband(streams[0], str_to_num(args.sample_rate), centers,
+                         psr_threshold=args.threshold,
+                         chunk_samples=args.chunk,
+                         refresh_every=args.refresh,
+                         transport=args.transport or "i8")
+        elif len(streams) == 1:
             run(streams[0], psr_threshold=args.threshold,
-                chunk_samples=args.chunk, refresh_every=args.refresh)
+                chunk_samples=args.chunk or 19200,
+                refresh_every=args.refresh)
         else:
             run_multi(streams, psr_threshold=args.threshold,
-                      chunk_samples=args.chunk, refresh_every=args.refresh,
-                      transport=args.transport)
+                      chunk_samples=args.chunk or 19200,
+                      refresh_every=args.refresh,
+                      transport=args.transport or "i16")
     except KeyboardInterrupt:
         pass
     finally:

@@ -69,7 +69,8 @@ def synthesize_pbch_subframe(cell_id: int, nof_prb_field: int = 50,
 def synthesize_frame_ports(cell_id: int, nof_prb_field: int = 50,
                            sfn: int = 0, quarter: int = 0,
                            nof_ports: int = 1,
-                           normal_cp: bool = True) -> np.ndarray:
+                           normal_cp: bool = True,
+                           pbch_scale: float = 1.0) -> np.ndarray:
     """One radio frame PER TX PORT: [nof_ports, 19200] complex, unnormalized.
 
     Port p carries its own CRS and its SFBC/SFBC-FSTD share of the PBCH;
@@ -124,11 +125,15 @@ def synthesize_frame_ports(cell_id: int, nof_prb_field: int = 50,
             p[3][g + 2], p[3][g + 3] = -np.conj(x3), np.conj(x2)
         tx = {i: p[i] / np.sqrt(2) for i in range(4)}
 
+    # pbch_scale attenuates ONLY the PBCH resource elements (sync + CRS
+    # stay at nominal power): the knob that builds the PBCH-limited regime
+    # where TTI soft-combining can matter — PSS tracks, single-subframe
+    # MIB fails (apps/snr_sweep.py::pbch_sweep)
     from .refrx import pbch_re_indices
     re_idx = pbch_re_indices(v_shift, normal_cp)
     for port, syms in tx.items():
         for (l, k), v in zip(re_idx, syms):
-            slots[port][1][l][k] += v
+            slots[port][1][l][k] += pbch_scale * v
 
     return np.stack([
         np.concatenate([_ofdm_mod_slot(s, normal_cp) for s in slots[p]])

@@ -328,6 +328,12 @@ class MultiTrigger:
     def _fed_min(self) -> int:
         return min(self._base + len(b) for b in self._bufs)
 
+    def _trim_front(self, keep_from: int) -> None:
+        """Discard host samples below every stream's drained position."""
+        for b in self._bufs:
+            b.drop_front(keep_from)
+        self._base += keep_from
+
     def _dispatch_one(self, published) -> bool:
         """Same adaptive-depth/backpressure rule as api.Trigger, with the
         available window bounded by the SLOWEST stream's fed extent."""
@@ -348,9 +354,7 @@ class MultiTrigger:
         with self.timer.stage("prep"):
             keep_from = int(self._pos_lb.min()) - LOOKBACK - self._base
             if keep_from > 0:
-                for b in self._bufs:
-                    b.drop_front(keep_from)
-                self._base += keep_from
+                self._trim_front(keep_from)
             hi_need = (self._estimated_min_pos()
                        + n_steps * HALF_FRAME_LENGTH + WINDOW)
             self._sync_device_window(min(self._fed_min(), hi_need))

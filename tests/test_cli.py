@@ -167,3 +167,30 @@ def test_live_monitor_multi_source():
     status = [e for e in events if e["event"] == "status"][-1]
     assert status["cells"][0] == [cell_id]
     assert status["cells"][1] == []
+
+
+def test_live_monitor_wideband():
+    """One wide source -> N monitored carriers (run_wideband): track events
+    carry the carrier's center offset; status reports per-carrier state."""
+    import io
+    import json as _json
+
+    from ltetrigger_tpu.apps import live_monitor
+    from ltetrigger_tpu.ltecore import synth
+    from tests.test_wideband import _upconvert
+
+    fa = synth.synthesize_frame(99, nof_prb_field=25)
+    wide = _upconvert(np.tile(fa, 10), 7.68e6, 2.4e6)
+    wide = (wide / np.sqrt(np.mean(np.abs(wide) ** 2))).astype(np.complex64)
+    out = io.StringIO()
+    live_monitor.run_wideband(io.BytesIO(wide.tobytes()), 7.68e6,
+                              [-2.4e6, 2.4e6], psr_threshold=4.0,
+                              refresh_every=2, out=out, transport="i8")
+    events = [_json.loads(line) for line in out.getvalue().splitlines()]
+    tracks = [e for e in events if e["event"] == "track"]
+    assert tracks and all(t["stream"] == 1 for t in tracks)
+    assert tracks[0]["cell_id"] == 99
+    assert tracks[0]["center_offset_hz"] == 2.4e6
+    status = [e for e in events if e["event"] == "status"][-1]
+    assert status["cells"][1] == [99]
+    assert status["cells"][0] == []
