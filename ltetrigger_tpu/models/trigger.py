@@ -249,33 +249,33 @@ def _group_power(buffer: cplx.Pair, lo, g: int) -> jnp.ndarray:
     (peak_and_psr_blocked) and slices its per-step input by index instead
     of requiring a leading step axis.
 
-    One blocked-Toeplitz matmul for the whole group (see ops/correlate.py
-    for the WL/WU construction): the g*9600 candidate positions tile into
-    g*75 blocks of 128, each correlated by [256]->[768] dense weights.
+    ONE blocked-Toeplitz matmul for the whole group (K=512 contraction over
+    [x0_re | x0_im | x1_re | x1_im], comp-major output — see
+    correlate._toeplitz_weights_fat): the g*9600 candidate positions tile
+    into g*75 blocks of 128, each correlated by [512]->[768] dense weights,
+    and the square-accumulate combines two CONTIGUOUS 384-column halves.
     Replaces the reference's per-half-frame FFTW convolution
     (srslte_pss_find_pss, lib/pss_impl.cc:165) with the MXU's native shape.
+    (Round-5 measurement: the earlier two-dot + stride-128 square epilogue
+    spent ~19 ms/dispatch in relayout at C=128; this form is within ~2x of
+    the pure HBM-traffic floor.)
     """
     span = g * HALF_FRAME_LENGTH
     batch = buffer[0].shape[:-1]
     nb = span // SYMBOL_SZ
-
-    # x1's row i is exactly x0's row i+1 (both are [re||im] 128-blocks at
-    # stride 128), so ONE materialized block matrix of nb+1 rows feeds
-    # both matmuls as static row slices — half the blocks() traffic.
-    br = jax.lax.dynamic_slice_in_dim(buffer[0], lo, span + SYMBOL_SZ, -1)
-    bi = jax.lax.dynamic_slice_in_dim(buffer[1], lo, span + SYMBOL_SZ, -1)
-    x = jnp.concatenate([br.reshape(batch + (nb + 1, SYMBOL_SZ)),
-                         bi.reshape(batch + (nb + 1, SYMBOL_SZ))], -1)
-    x0 = x[..., :-1, :]                  # [..., g*75, 256]
-    x1 = x[..., 1:, :]
-    WL, WU = correlate._toeplitz_weights()
     dt = _pass_a_dtype()
-    c = jnp.dot(x0.astype(dt), jnp.asarray(WL).astype(dt),
-                preferred_element_type=jnp.float32) \
-        + jnp.dot(x1.astype(dt), jnp.asarray(WU).astype(dt),
-                  preferred_element_type=jnp.float32)   # [..., g*75, 768]
-    c = c.reshape(batch + (g, 75, R, 2, SYMBOL_SZ))
-    return c[..., 0, :] ** 2 + c[..., 1, :] ** 2        # [..., g, 75, R, 128]
+
+    def blocks(off, comp):
+        s = jax.lax.dynamic_slice_in_dim(buffer[comp], lo + off, span, -1)
+        return s.reshape(batch + (nb, SYMBOL_SZ))
+
+    x = jnp.concatenate([blocks(0, 0), blocks(0, 1),
+                         blocks(SYMBOL_SZ, 0), blocks(SYMBOL_SZ, 1)],
+                        -1).astype(dt)                  # [..., g*75, 512]
+    W = jnp.asarray(correlate._toeplitz_weights_fat()).astype(dt)
+    c = jnp.dot(x, W, preferred_element_type=jnp.float32)  # [.., g*75, 768]
+    p = c[..., :384] ** 2 + c[..., 384:] ** 2           # comp-major squares
+    return p.reshape(batch + (g, 75, R, SYMBOL_SZ))
 
 
 def _pick_group(n_steps: int, batch: int) -> int:
@@ -467,6 +467,113 @@ def _gather_cands(buffer: cplx.Pair, starts, length: int) -> cplx.Pair:
     """Candidate gathers: starts [*B, R, K] (batch dims already leading)."""
     return (_gather_rows(buffer[0], starts, length),
             _gather_rows(buffer[1], starts, length))
+
+
+# Candidate slot-1 extraction strategy: "dense" (default) replaces the
+# K-candidate vmapped-dynamic-slice family — ~20 ms of element-proportional
+# scalar-unit gathers per 100-step dispatch at C=128 (r4 device trace) —
+# with the same exact one-hot dense-selection scheme as the slot-0 path;
+# "gather" keeps the round-4 formulation as the golden cross-check.
+CAND_EXTRACT = os.environ.get("LTETRIGGER_CAND_EXTRACT", "dense")
+
+
+def _gather_cands_dense(buffer: cplx.Pair, cand_start, grid0,
+                        n_steps: int) -> cplx.Pair:
+    """Memory-bounded wrapper around _gather_cands_dense_core: the dense
+    selection materializes O(C * (S*9600 + RK*10752)) temporaries, which
+    at C=1024 exceeds HBM; channel batches above _CAND_CHUNK lanes run as
+    a sequential lax.map over channel chunks (peak memory divides by the
+    chunk count, total work unchanged)."""
+    batch = buffer[0].shape[:-1]
+    if len(batch) == 1 and batch[0] > _CAND_CHUNK:
+        c = batch[0]
+        ch = max(d for d in range(1, _CAND_CHUNK + 1) if c % d == 0)
+        n_ch = c // ch
+
+        def one_chunk(args):
+            b0, b1, st = args
+            return _gather_cands_dense_core((b0, b1), st, grid0, n_steps)
+
+        o0, o1 = jax.lax.map(
+            one_chunk,
+            (buffer[0].reshape((n_ch, ch) + buffer[0].shape[1:]),
+             buffer[1].reshape((n_ch, ch) + buffer[1].shape[1:]),
+             cand_start.reshape((n_ch, ch) + cand_start.shape[1:])))
+        return (o0.reshape((c,) + o0.shape[2:]),
+                o1.reshape((c,) + o1.shape[2:]))
+    return _gather_cands_dense_core(buffer, cand_start, grid0, n_steps)
+
+
+_CAND_CHUNK = 128
+
+
+def _gather_cands_dense_core(buffer: cplx.Pair, cand_start, grid0,
+                             n_steps: int) -> cplx.Pair:
+    """Slot-1 segments for the decode candidates with NO per-lane gathers.
+
+    cand_start [*B, R, K] are absolute starts (grid0 + 9600*s + peak + 128
+    for a real candidate; garbage for invalid slots — their one-hots match
+    nothing and the output row is exactly zero, which the `valid` mask
+    drops downstream).  Selection runs in four dense stages, all 0/1-
+    weighted f32 contractions (EXACT — only one operand element is ever
+    selected per output):
+
+      stage 0  step:  one-hot [RK, S] over per-step 10752-sample regions,
+               built from two stride-9600 reshapes of the buffer (the same
+               no-gather view trick as _extract_segs_dense);
+      stage 1  q = off//128: 9 consecutive 128-blocks of the 84;
+      stage 2  u = off%128//16: 61 consecutive 16-sub-blocks;
+      stage 3  v = off%16: einsum over the 16 static 960-shifts.
+
+    A region may read past data_valid / the buffer's padded tail; every
+    such sample is dropped by the later selection stages (gatherable
+    gating guarantees a REAL candidate's [start, start+960) lies inside
+    data_valid), and clamped dynamic-slices make the reads in-bounds."""
+    batch = buffer[0].shape[:-1]
+    s = n_steps
+    shp = cand_start.shape
+    rk = shp[-2] * shp[-1]
+    rel = cand_start - grid0
+    sidx = rel // HALF_FRAME_LENGTH
+    off = rel - sidx * HALF_FRAME_LENGTH            # [0, 9600)
+    q = off // SYMBOL_SZ                            # [0, 75)
+    u = (off % SYMBOL_SZ) // 16                     # [0, 8)
+    v = off % 16
+
+    def flat(a):
+        return a.reshape(batch + (rk,))
+
+    sidxf, qf, uf, vf = flat(sidx), flat(q), flat(u), flat(v)
+    oh_s = (sidxf[..., None]
+            == jnp.arange(s, dtype=jnp.int32)).astype(jnp.float32)
+    oh_q = (qf[..., None, None] + jnp.arange(9, dtype=jnp.int32)[:, None]
+            == jnp.arange(84, dtype=jnp.int32)).astype(jnp.float32)
+    oh_u = (uf[..., None, None] + jnp.arange(61, dtype=jnp.int32)[:, None]
+            == jnp.arange(72, dtype=jnp.int32)).astype(jnp.float32)
+    oh_v = (vf[..., None]
+            == jnp.arange(16, dtype=jnp.int32)).astype(jnp.float32)
+    span = s * HALF_FRAME_LENGTH
+
+    def one(comp):
+        v1 = jax.lax.dynamic_slice_in_dim(comp, grid0, span, -1) \
+            .reshape(batch + (s, HALF_FRAME_LENGTH))
+        v2 = jax.lax.dynamic_slice_in_dim(comp, grid0 + HALF_FRAME_LENGTH,
+                                          span, -1) \
+            .reshape(batch + (s, HALF_FRAME_LENGTH))[..., :1152]
+        r1 = jnp.einsum("...ks,...sw->...kw", oh_s, v1)
+        r2 = jnp.einsum("...ks,...sw->...kw", oh_s, v2)
+        blocks = jnp.concatenate([r1, r2], -1) \
+            .reshape(batch + (rk, 84, SYMBOL_SZ))
+        cat = jnp.einsum("...kjb,...kbm->...kjm", oh_q, blocks) \
+            .reshape(batch + (rk, 72, 16))
+        cat2 = jnp.einsum("...kwb,...kbm->...kwm", oh_u, cat) \
+            .reshape(batch + (rk, 976))
+        sl = jnp.stack([cat2[..., vv:vv + SLOT_LENGTH] for vv in range(16)],
+                       axis=-2)
+        out = jnp.einsum("...kv,...kvm->...km", oh_v, sl)
+        return out.reshape(shp + (SLOT_LENGTH,))
+
+    return one(buffer[0]), one(buffer[1])
 
 
 # Pass-C slot-0 segment extraction strategy.  "dense" (default) replaces the
@@ -688,7 +795,7 @@ def _capture_chain(state0: TriggerState, raw: RawStepOutput, sss_valid,
 
 def _decode_candidates(state0: TriggerState, buffer: cplx.Pair,
                       cand_start, cand_freq, cand_cell, cand_cp, cand_fresh,
-                      valid, combine: bool):
+                      valid, combine: bool, grid0=None, n_steps=None):
     """Batched PBCH + Viterbi over the captured candidates.
 
     cand_* : [..., R, K]; returns per-candidate verdicts [..., R, K] and the
@@ -696,9 +803,13 @@ def _decode_candidates(state0: TriggerState, buffer: cplx.Pair,
     k = cand_cell.shape[-1]
     batch = cand_cell.shape[:-2]
 
-    # lazy slot-1 gather + capture-time CFO rotation (phase continues from
-    # the aligned frame start: slot-1 sample n had aligned index 960 + n)
-    slot1 = _gather_cands(buffer, cand_start, SLOT_LENGTH)  # [.., R, K, 960]
+    # lazy slot-1 extraction + capture-time CFO rotation (phase continues
+    # from the aligned frame start: slot-1 sample n had aligned index
+    # 960 + n)
+    if CAND_EXTRACT == "dense" and grid0 is not None:
+        slot1 = _gather_cands_dense(buffer, cand_start, grid0, n_steps)
+    else:
+        slot1 = _gather_cands(buffer, cand_start, SLOT_LENGTH)
     slot1 = cfo_ops.cfo_rotate(slot1, cand_freq, SLOT_LENGTH)
 
     flat = (slot1[0].reshape((-1, SLOT_LENGTH)),
@@ -869,20 +980,24 @@ def _mib_postpass(state0: TriggerState, final: TriggerState,
         # ---- PSS LS channel estimate on tracked half-frames ----
         # (reference computes srslte_pss_chest right after cfo_correct,
         # lib/pss_impl.cc:204-206; the carry keeps the LAST tracked step's
-        # estimate per root, selected closed-form over the step axis)
+        # estimate per root.)  The last-pushed PSS SYMBOL is selected
+        # first (one 0/1 sum over the step axis — exact, only one step
+        # selected) and the DFT + replica conjugation run ONCE per lane
+        # instead of per step: the per-step formulation cost ~2.5 ms per
+        # 100-step dispatch at C=128.
         from ..ops import dft
         pss_rot = cplx.index(sf, (..., slice(SEG - SYMBOL_SZ, SEG)))
-        Y62 = dft.dft_sync(pss_rot)                       # [S, .., R, 62]
-        fr62, fi62 = cfo_ops.chest_replicas()
-        chv = cplx.mul_conj(Y62, (jnp.asarray(fr62), jnp.asarray(fi62)))
         tt_c = jnp.arange(s, dtype=jnp.int32).reshape(
             (s,) + (1,) * (push.ndim - 1))
         last_push = jax.lax.cummax(jnp.where(push, tt_c, -1), axis=0)[-1]
-        pick = (push & (tt_c == last_push[None]))[..., None, None]
-        ch_stack = jnp.stack(chv, axis=-1)                # [S, .., R, 62, 2]
+        pick = (push & (tt_c == last_push[None]))[..., None]
+        sym = tuple(jnp.sum(jnp.where(pick, comp, 0.0), axis=0)
+                    for comp in pss_rot)                  # [.., R, 128]
+        Y62 = dft.dft_sync(sym)
+        fr62, fi62 = cfo_ops.chest_replicas()
+        chv = cplx.mul_conj(Y62, (jnp.asarray(fr62), jnp.asarray(fi62)))
         chest_f = jnp.where((last_push >= 0)[..., None, None],
-                            jnp.sum(jnp.where(pick, ch_stack, 0.0), axis=0),
-                            state0.chest)
+                            jnp.stack(chv, axis=-1), state0.chest)
 
         normal_cp = sync.detect_cp(sf, end=SEG)
         nid2 = jnp.arange(R, dtype=jnp.int32)
@@ -925,7 +1040,7 @@ def _mib_postpass(state0: TriggerState, final: TriggerState,
         def dheavy(_):
             return _decode_candidates(state0, buffer, cand_start, cand_freq,
                                       cand_cell, cand_cp, cand_fresh, valid,
-                                      combine)
+                                      combine, grid0=grid[0], n_steps=s)
 
         def dcheap(_):
             zi = jnp.zeros(batch + (R, k), jnp.int32)

@@ -81,6 +81,25 @@ V2_WINDOW = HALF_FRAME_LENGTH + SYMBOL_SZ        # 9728 samples read
 
 
 @functools.lru_cache(maxsize=None)
+def _toeplitz_weights_fat():
+    """[512, 768] float32: the grid engine's one-matmul weight bank.
+
+    Contraction axis: [x0_re | x0_im | x1_re | x1_im] (x1 = x0 shifted one
+    128-block).  Output axis COMP-MAJOR: [comp, root, p] — so the
+    square-accumulate runs on two contiguous 384-column halves instead of
+    stride-128 interleaves.  Measured on hardware (round 5): the strided
+    square epilogue alone cost ~13 ms/dispatch at C=128, and fusing the
+    four dots into one K=512 matmul another ~6 ms; together pass A fell
+    39.6 -> ~21 ms (RTT-amortized)."""
+    WL, WU = _toeplitz_weights()
+    def cm(W):
+        W5 = W.reshape(2, SYMBOL_SZ, N_ROOTS, 2, SYMBOL_SZ)
+        return np.ascontiguousarray(
+            np.moveaxis(W5, 3, 2).reshape(256, 768))
+    return np.concatenate([cm(WL), cm(WU)], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
 def _toeplitz_weights(cfo_bin: int = 0):
     """(WL, WU): [256, 768] float32 each.
 
@@ -271,15 +290,68 @@ def default_power_diag(window: cplx.Pair) -> jnp.ndarray:
 
 def peak_and_psr_blocked(power: jnp.ndarray, lobe_limit: int = 64):
     """peak_and_psr on BLOCK-structured power [..., 75, R, 128] — the
-    layout pass A produces naturally ([g*75, R, 2, 128] matmul outputs),
-    so the engine's hot loop never pays the [75, R] -> [R, 9600]
-    transpose (the device trace showed that relayout at ~20% of the
-    whole dispatch).  Bit-identical to peak_and_psr on the flattened
-    [..., R, 9600] view, including argmax tie order (block-major flatten
-    == row-major first occurrence).
+    layout pass A produces naturally, in TWO full-resolution passes.
+
+    The round-4 formulation (_peak_and_psr_blocked_multipass below, kept
+    as the golden cross-check) made ~5 full passes over the power tensor
+    per step — rise masks, edge scans and the sidelobe max each re-read
+    all 75*R*128 elements; at C=1024 that was the dominant pass-B cost
+    (~295 ms of the dispatch).  Here the full tensor is touched only for
+    (a) per-block max/argmax and (b) ONE exact 0/1 one-hot selection of
+    the peak's 3-block neighborhood; every lobe element is within +-64 of
+    the peak, so the rise/edge/lobe logic runs on [.., R, 384] tensors and
+    the out-of-neighborhood sidelobe comes from the per-block maxima.
+    Bit-identical to the flat version including argmax tie order and the
+    stream-boundary duplicate-element rise semantics
+    (tests/test_ops.py::test_peak_and_psr_blocked_variants).
 
     returns: (peak_pos int32 [..., R] in [0, 9600), psr float32 [..., R])
     """
+    nb, nm = power.shape[-3], power.shape[-1]        # 75, 128
+    assert lobe_limit <= nm // 2
+    in_max = jnp.max(power, axis=-1)                 # [.., 75, R]
+    in_arg = jnp.argmax(power, axis=-1).astype(jnp.int32)
+    blk = jnp.argmax(jnp.moveaxis(in_max, -2, -1), axis=-1) \
+        .astype(jnp.int32)                           # [.., R]
+    m = jnp.take_along_axis(jnp.moveaxis(in_arg, -2, -1),
+                            blk[..., None], axis=-1)[..., 0]
+    peak = blk * nm + m
+    pk_val = jnp.max(in_max, axis=-2)                # [.., R]
+
+    nb0 = jnp.clip(blk - 1, 0, nb - 3)
+    oh = (nb0[..., None, None] + jnp.arange(3, dtype=jnp.int32)[:, None]
+          == jnp.arange(nb, dtype=jnp.int32)).astype(power.dtype)
+    hood = jnp.einsum("...rjb,...brm->...rjm", oh, power)
+    hood = hood.reshape(hood.shape[:-2] + (3 * nm,))     # [.., R, 384]
+    absi = nb0[..., None] * nm + jnp.arange(3 * nm, dtype=jnp.int32)
+    rel = absi - peak[..., None]
+
+    # duplicate-end rise semantics: the hood's far ends only matter when
+    # they coincide with the stream's ends, where duplicate-self is the
+    # flat behavior; interior hood ends sit at |rel| >= 128 > lobe_limit
+    shifted = jnp.concatenate([hood[..., 1:], hood[..., -1:]], axis=-1)
+    rise = shifted > hood
+    right_edge = jnp.min(
+        jnp.where((rel >= 1) & (rel <= lobe_limit) & rise, rel,
+                  lobe_limit), axis=-1)
+    shiftedl = jnp.concatenate([hood[..., :1], hood[..., :-1]], axis=-1)
+    risel = shiftedl > hood
+    left_edge = jnp.min(
+        jnp.where((-rel >= 1) & (-rel <= lobe_limit) & risel, -rel,
+                  lobe_limit), axis=-1)
+    in_lobe = (rel >= -left_edge[..., None]) & (rel <= right_edge[..., None])
+    side_in = jnp.max(jnp.where(in_lobe, 0.0, hood), axis=-1)
+    bidx = jnp.arange(nb, dtype=jnp.int32)
+    out_blk = (bidx[..., None] < nb0[..., None, :]) \
+        | (bidx[..., None] > nb0[..., None, :] + 2)      # [.., 75, R]
+    side_out = jnp.max(jnp.where(out_blk, in_max, 0.0), axis=-2)
+    psr = pk_val / jnp.maximum(jnp.maximum(side_in, side_out), 1e-30)
+    return peak, psr.astype(jnp.float32)
+
+
+def _peak_and_psr_blocked_multipass(power: jnp.ndarray,
+                                    lobe_limit: int = 64):
+    """The round-4 full-resolution formulation (golden cross-check)."""
     nb, nm = power.shape[-3], power.shape[-1]        # 75, 128
     # two-stage argmax == flat first-occurrence argmax
     in_max = jnp.max(power, axis=-1)                 # [.., 75, R]

@@ -174,10 +174,14 @@ def viterbi_decode_wa(llr: jnp.ndarray):
             .astype(jnp.uint32)
         r0p = _sel4(tile4(r0), dec)
         r1p = _sel4(tile4(r1), dec)
-        return (m_new, (r1p << 2) | (r0p >> 30), (r0p << 2) | bits2), None
+        # r1 holds only the top 40-32=8 survivor bits: uint8 carry (the
+        # serial chain is HBM-bound on carry bytes; 1/4 the r1 traffic)
+        r1n = ((r1p << 2) | (r0p >> 30).astype(jnp.uint8))
+        return (m_new, r1n, (r0p << 2) | bits2), None
 
     z = jnp.zeros((B, N_STATES), jnp.uint32)
-    (m, r1, r0), _ = jax.lax.scan(p2, (m, z, z), xs[20:40])
+    z8 = jnp.zeros((B, N_STATES), jnp.uint8)
+    (m, r1, r0), _ = jax.lax.scan(p2, (m, z8, z), xs[20:40])
 
     def p3(carry, r_t):                                # exchange only
         m, r1, r0 = carry
@@ -189,7 +193,7 @@ def viterbi_decode_wa(llr: jnp.ndarray):
     best = jnp.argmax(m, axis=-1)
     metric = jnp.max(m, axis=-1) / 3.0
     bidx = jnp.arange(B)
-    h1 = r1[bidx, best]
+    h1 = r1[bidx, best].astype(jnp.uint32)
     h0 = r0[bidx, best]
     # middle-copy symbol t in [40, 79] was recorded at chain bit 79 - t
     t = jnp.arange(n, dtype=jnp.uint32) + n

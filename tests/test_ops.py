@@ -367,7 +367,7 @@ def test_peak_and_psr_blocked_matches_flat():
     from ltetrigger_tpu.ops import correlate
 
     rng = np.random.default_rng(17)
-    for trial in range(4):
+    for trial in range(7):
         p = rng.random((2, 3, 9600)).astype(np.float32)
         if trial == 1:      # exact ties
             p[(p > 0.99)] = 1.5
@@ -376,8 +376,23 @@ def test_peak_and_psr_blocked_matches_flat():
         if trial == 2:      # peak at block boundaries
             p[0, :, 128 * 40 - 1] = 3.0
             p[1, :, 128 * 40] = 3.0
+        if trial == 3:      # peak at the stream ends (duplicate-element
+            p[0, :, 0] = 3.0            # rise semantics at the edges)
+            p[1, :, 9599] = 3.0
+        if trial == 4:      # peak just inside the ends, lobe reaching out
+            p[0, :, 5] = 3.0
+            p[1, :, 9597] = 3.0
+        if trial == 5:      # monotone plateau around the peak (no rise
+            p[0, 0, 4000:4200] = 2.0    # within lobe_limit on either side)
+        if trial == 6:      # strong sidelobe exactly at the lobe edge
+            p[0, 0, 4000] = 3.0
+            p[0, 0, 4063] = 2.9
+            p[0, 0, 4064] = 2.95
         pk_f, psr_f = correlate.peak_and_psr(jnp.asarray(p))
         blocked = jnp.asarray(p.reshape(2, 3, 75, 128).transpose(0, 2, 1, 3))
-        pk_b, psr_b = correlate.peak_and_psr_blocked(blocked)
-        np.testing.assert_array_equal(np.asarray(pk_f), np.asarray(pk_b))
-        np.testing.assert_array_equal(np.asarray(psr_f), np.asarray(psr_b))
+        for impl in (correlate.peak_and_psr_blocked,
+                     correlate._peak_and_psr_blocked_multipass):
+            pk_b, psr_b = impl(blocked)
+            np.testing.assert_array_equal(np.asarray(pk_f), np.asarray(pk_b))
+            np.testing.assert_array_equal(np.asarray(psr_f),
+                                          np.asarray(psr_b))

@@ -483,6 +483,45 @@ def test_seg_extract_paths_agree():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_cand_extract_paths_agree():
+    """The dense candidate slot-1 extraction (default) must be
+    BIT-IDENTICAL to the vmapped-gather path for random capture positions
+    (one-hot f32 selection is exact), including batched channels and
+    invalid slots (start=0 sentinels -> all-zero rows)."""
+    rng = np.random.default_rng(13)
+    for S, batch, K in ((12, (), 12), (10, (3,), 10)):
+        n = trig.LOOKBACK + S * 9600 + trig.WINDOW
+        buf = (jnp.asarray(rng.normal(size=batch + (n,)).astype(np.float32)),
+               jnp.asarray(rng.normal(size=batch + (n,)).astype(np.float32)))
+        s_cand = rng.integers(0, S, size=batch + (3, K))
+        peak = rng.integers(0, 9600, size=batch + (3, K))
+        grid0 = trig.LOOKBACK
+        starts = (grid0 + 9600 * s_cand + peak
+                  - trig.LOOKBACK + trig.SLOT_LENGTH).astype(np.int32)
+        # a couple of invalid slots carry the scatter sentinel start 0
+        starts[..., -1] = 0
+        starts = jnp.asarray(starts)
+
+        ref = trig._gather_cands(buf, starts, trig.SLOT_LENGTH)
+        dense = trig._gather_cands_dense(buf, starts, jnp.int32(grid0), S)
+        if len(batch) == 1:
+            # exercise the memory-bounding lax.map chunk path too
+            import unittest.mock
+            with unittest.mock.patch.object(trig, "_CAND_CHUNK", 1):
+                chunked = trig._gather_cands_dense(buf, starts,
+                                                   jnp.int32(grid0), S)
+            for a, b in zip(dense, chunked):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(ref, dense):
+            a = np.asarray(a).copy()
+            b = np.asarray(b).copy()
+            # the gather path CLAMPS invalid starts and reads real samples;
+            # the dense path zeroes them — compare only the valid slots,
+            # and require exact zeros on the sentinel slot
+            assert (b[..., -1, :] == 0).all()
+            np.testing.assert_array_equal(a[..., :-1, :], b[..., :-1, :])
+
+
 def test_no_phantom_cells_from_stale_tti_accumulator():
     """After a cell's signal ends, the EMA-pinned peak keeps emitting over
     the noise tail for a while and SSS misdecodes produce junk cell-id
