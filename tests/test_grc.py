@@ -9,6 +9,7 @@ import inspect
 import pathlib
 import re
 
+import pytest
 import yaml
 
 from ltetrigger_tpu.models import api
@@ -102,20 +103,23 @@ def test_cellstore_descriptor_matches_api():
     assert "CellStore()" in d["templates"]["make"]
 
 
-def test_demo_flowgraph_loads_and_cross_checks():
-    """The shipped examples/ltetrigger_demo.grc (GRC 3.10 YAML flowgraph —
-    parity with the reference's loadable examples/*.grc demos) must parse,
+@pytest.mark.parametrize("grc_file", ["ltetrigger_demo.grc",
+                                      "snr_ltetrigger_demo.grc"])
+def test_demo_flowgraph_loads_and_cross_checks(grc_file):
+    """The shipped examples/*.grc flowgraphs (GRC 3.10 YAML — parity with
+    the reference's TWO loadable demos, rtlsdr/file and snr) must parse,
     reference only block ids that exist (GR builtins or grc/*.block.yml
     descriptors), use only declared parameters, and connect only declared
     ports."""
-    from ltetrigger_tpu.apps.run_flowgraph import (load_descriptors,
+    from ltetrigger_tpu.apps.run_flowgraph import (_STREAM_IDS,
+                                                   load_descriptors,
                                                    load_flowgraph)
 
     root = GRC_DIR.parent
-    fg = load_flowgraph(root / "examples" / "ltetrigger_demo.grc")
+    fg = load_flowgraph(root / "examples" / grc_file)
     descs = load_descriptors()
     assert fg["metadata"]["file_format"] == 1
-    builtins = {"variable", "blocks_file_source"}
+    builtins = {"variable"} | set(_STREAM_IDS)
 
     by_name = {}
     for b in fg["blocks"]:
@@ -161,6 +165,32 @@ def test_demo_flowgraph_runs_headless():
     cells = out["cellstore_0"]
     assert cells and cells[0]["cell_id"] == 123
     assert cells[0]["nof_prb"] == 6
+
+
+def test_snr_flowgraph_runs_headless():
+    """The SNR demo flowgraph (reference parity:
+    examples/snr_ltetrigger.grc — capture * gain + gaussian noise ->
+    trigger) runs headless: at the shipped low noise the cell publishes;
+    with the noise variable raised far above the detection knee it must
+    not (the flowgraph's variables are live knobs, like the GUI sliders)."""
+    from ltetrigger_tpu.apps.run_flowgraph import FlowgraphRunner
+
+    root = GRC_DIR.parent
+    cap = pathlib.Path("/root/reference/test_frames/"
+                       "lte_frame_6prb_cellid_123")
+    if not cap.exists():
+        import pytest as _pytest
+        _pytest.skip("test vector not available")
+    path = root / "examples" / "snr_ltetrigger_demo.grc"
+
+    runner = FlowgraphRunner(path)
+    out = runner.run(time_out=1.0)
+    assert out["cellstore_0"] and out["cellstore_0"][0]["cell_id"] == 123
+
+    loud = FlowgraphRunner(path)
+    loud.vars["noise_amp"] = 30.0          # ~-30 dB SNR: far below knee
+    out2 = loud.run(time_out=0.6)
+    assert out2["cellstore_0"] == []
 
 
 def test_api_reference_not_stale():
