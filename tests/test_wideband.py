@@ -187,3 +187,64 @@ def test_wideband_rebase_preserves_detection(monkeypatch):
         assert w.stores[n].latest_cell().cell_id == cid
     # cells still tracked across the wrap
     assert w.tracking[0].any() and w.tracking[2].any()
+
+
+def test_wideband_trigger_sharded_over_mesh():
+    """WidebandTrigger(mesh=...): carrier lanes shard over the `ch` axis
+    (one wide upload, channelized into device-sharded rows) and produce
+    exactly the unsharded events and telemetry."""
+    from ltetrigger_tpu.parallel import make_mesh
+
+    wide, expect = _two_cell_band()
+    centers4 = CENTERS + [1.2e6]          # 4 lanes / 4-device ch axis
+
+    def run(mesh):
+        w = WidebandTrigger(RATE, centers4, psr_threshold=4,
+                            transport="f32", mesh=mesh)
+        ev = []
+        for i in range(0, len(wide), WCHUNK):
+            ev += w.process_wide(wide[i:i + WCHUNK])
+        ev += w.flush()
+        return w, sorted((n, c.cell_id) for n, c in ev)
+
+    w0, ev0 = run(None)
+    w1, ev1 = run(make_mesh(n_channels=4, n_time=2))
+    assert ev0 == ev1
+    assert {n for n, _ in ev1} == {0, 2}
+    for n, cid in expect.items():
+        assert w1.stores[n].latest_cell().cell_id == cid
+    np.testing.assert_allclose(w0.mean_psr, w1.mean_psr, rtol=1e-5)
+    np.testing.assert_array_equal(w0.tracking_score, w1.tracking_score)
+
+
+def test_wideband_integer_cfo_acquisition():
+    """A carrier inside the band with a 1.3-subcarrier offset (invisible
+    to the plain matched filter) acquires through the inherited per-stream
+    integer-CFO probe — the probe rotates only that carrier's channelized
+    mirror rows."""
+    fa = synth.synthesize_frame(200, nof_prb_field=50)
+    sig = np.tile(fa, 12)
+    n = np.arange(sig.size, dtype=np.float64)
+    off = (sig * np.exp(2j * np.pi * 1.3 / 128.0 * n))
+    wide = _upconvert(off, RATE, -2.4e6)
+    fb = synth.synthesize_frame(250, nof_prb_field=50)
+    wide = wide + _upconvert(np.tile(fb, 12), RATE, 2.4e6)
+    wide = (wide / np.sqrt(np.mean(np.abs(wide) ** 2))).astype(np.complex64)
+
+    plain = WidebandTrigger(RATE, CENTERS, psr_threshold=4, transport="f32")
+    for i in range(0, len(wide), WCHUNK):
+        plain.process_wide(wide[i:i + WCHUNK])
+    plain.flush()
+    assert plain.stores[0].cells() == [], \
+        "uncorrected filter must NOT see the offset carrier"
+    assert plain.stores[2].latest_cell().cell_id == 250
+
+    w = WidebandTrigger(RATE, CENTERS, psr_threshold=4, transport="f32",
+                        cfo_search_range=2)
+    for i in range(0, len(wide), WCHUNK):
+        w.process_wide(wide[i:i + WCHUNK])
+    w.flush()
+    assert w.stores[0].latest_cell() is not None \
+        and w.stores[0].latest_cell().cell_id == 200
+    assert w.stores[2].latest_cell().cell_id == 250
+    assert w._cfo_bins[0] != 0 and w._cfo_bins[2] == 0
