@@ -24,6 +24,19 @@ import time
 import numpy as np
 
 
+def _psd_db(chunk: np.ndarray, nbins: int = 32) -> list[float]:
+    """Coarse PSD of the latest chunk (dB, DC-centered, `nbins` bins) —
+    one waterfall LINE per status refresh: the headless analogue of the
+    reference rtlsdr demo's QT waterfall sink (a UI renders the status
+    stream's psd_db rows as the waterfall)."""
+    n = (len(chunk) // nbins) * nbins
+    if n == 0:
+        return [0.0] * nbins
+    spec = np.fft.fftshift(np.abs(np.fft.fft(chunk[:n])) ** 2)
+    p = spec.reshape(nbins, -1).mean(axis=1) / max(n, 1)
+    return np.round(10.0 * np.log10(p + 1e-30), 1).tolist()
+
+
 def run(stream, psr_threshold: float = 4.0, chunk_samples: int = 19200,
         refresh_every: int = 10, out=sys.stdout, max_chunks=None) -> None:
     from ..models import api
@@ -51,6 +64,7 @@ def run(stream, psr_threshold: float = 4.0, chunk_samples: int = 19200,
             score = trig.tracking_score
             status = {
                 "t": round(time.time() - t0, 1),
+                "psd_db": _psd_db(samples),
                 "tracking_score": score.tolist(),
                 "tracking": trig.tracking.tolist(),
                 "mean_psr": np.round(trig.mean_psr, 2).tolist(),
@@ -158,11 +172,13 @@ def run_wideband(stream, sample_rate: float, centers,
         raw = stream.read(chunk_samples * 8)
         if not raw:
             break
-        trig.process_wide(np.frombuffer(raw, dtype=np.complex64))
+        wide_chunk = np.frombuffer(raw, dtype=np.complex64)
+        trig.process_wide(wide_chunk)
         n += 1
         if n % refresh_every == 0:
             status = {
                 "t": round(time.time() - t0, 1),
+                "psd_db": _psd_db(wide_chunk),    # whole-band waterfall line
                 "centers_hz": centers,
                 "tracking_score": trig.tracking_score.tolist(),
                 "tracking": trig.tracking.tolist(),

@@ -119,6 +119,13 @@ def test_live_monitor(tmp_path, capsys):
     # observability: the driver's per-stage timing must be live
     assert set(status["stages"]) == {"prep", "scan", "drain"}
     assert all(v >= 0 for v in status["stages"].values())
+    # waterfall analogue (reference rtlsdr demo's QT waterfall sink): one
+    # coarse PSD line per status refresh, LTE energy above the band edges
+    psd = status["psd_db"]
+    assert len(psd) == 32
+    mid = np.mean(psd[12:20])
+    edges = np.mean(psd[:4] + psd[-4:])
+    assert mid > edges + 3, "in-band LTE energy must stand out of the PSD"
 
 
 def test_trigger_stage_timer():
@@ -194,3 +201,8 @@ def test_live_monitor_wideband():
     status = [e for e in events if e["event"] == "status"][-1]
     assert status["cells"][1] == [99]
     assert status["cells"][0] == []
+    # the wideband waterfall line covers the whole band: the +2.4 MHz
+    # carrier's energy sits in the upper half of the DC-centered PSD
+    psd = status["psd_db"]
+    assert len(psd) == 32
+    assert np.mean(psd[20:28]) > np.mean(psd[4:12]) + 3
