@@ -25,6 +25,11 @@ Per-stream semantics are otherwise identical to N separate api.Trigger
 instances fed the same chunks (tests/test_multi.py asserts event-for-event
 equality): per-stream CellStores, telemetry [N, R], arrival-anchored
 tracking_start_time, checkpoint/resume of the full [N] carry.
+
+For N carriers that live inside ONE wide band, prefer
+models/wideband.WidebandTrigger: a single wideband upload is channelized
+on device into these same [N] mirror rows — one SDR, one transport
+stream, +10*log10(ratio) dB of per-channel quantization headroom.
 """
 
 from __future__ import annotations
