@@ -447,6 +447,18 @@ class Trigger:
                    flush_mode=(self.pipeline == 0 or self.exit_on_success))
         return published
 
+    def poll(self) -> list[Cell]:
+        """Advance the pipeline WITHOUT feeding samples: dispatch any work
+        the buffered backlog allows and drain outputs that are already
+        ready (never blocks on the device).  A producer pacing itself on
+        `backlog` between feeds should call this while it waits — the
+        backlog only shrinks when outputs are harvested, and harvesting
+        otherwise happens inside process()/flush()."""
+        published: list[Cell] = []
+        if not self.done:
+            self._pump(published, flush_mode=False)
+        return published
+
     def flush(self) -> list[Cell]:
         """Drain every outstanding dispatch and scan out all remaining
         buffered data; returns cells published during the flush."""

@@ -310,6 +310,14 @@ class MultiTrigger:
         short gaps, exactly as it would on a real muted antenna."""
         return self.process(stream, np.zeros(n_samples, dtype=np.complex64))
 
+    def poll(self) -> list[tuple[int, Cell]]:
+        """Advance the pipeline WITHOUT feeding: dispatch what the group
+        backlog allows, drain outputs that are ready, never block (see
+        api.Trigger.poll — the pacing-loop companion to `backlog`)."""
+        published: list[tuple[int, Cell]] = []
+        self._pump(published, flush_mode=False)
+        return published
+
     def flush(self) -> list[tuple[int, Cell]]:
         """Drain every outstanding dispatch and scan all data every stream
         has (data beyond the slowest stream's end stays buffered)."""

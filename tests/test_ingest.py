@@ -15,7 +15,7 @@ def test_chunkbuffer_matches_flat_array():
     rng = np.random.default_rng(7)
     buf = ChunkBuffer(dtype=np.complex64)
     ref = np.empty(0, np.complex64)
-    for _ in range(200):
+    for _ in range(2000):
         op = rng.integers(0, 3)
         if op == 0 or len(ref) == 0:
             n = int(rng.integers(0, 500))
@@ -97,3 +97,35 @@ def test_i16_chunking_invariance():
     # the measured PSR delta between chunkings (document, don't hide):
     rel = np.max(np.abs(mean_a - mean_b) / np.maximum(np.abs(mean_b), 1e-9))
     assert rel < 1e-3, f"i16 chunking PSR delta unexpectedly large: {rel}"
+
+
+def test_poll_advances_pipeline_without_feeding():
+    """A producer pacing on `backlog` must be able to drain via poll()
+    between feeds (harvest otherwise only happens inside process/flush —
+    a backlog wait loop that never pumps would spin forever)."""
+    import time
+
+    iq, cell_id, _ = load_frame(6)
+    sig = np.tile(iq, 10)
+    t = api.Trigger(psr_threshold=4, transport="f32")
+    cells = t.process(sig)
+    b0 = t.backlog
+    for _ in range(2000):
+        cells += t.poll()
+        if t.backlog <= 9600:
+            break
+        time.sleep(0.001)
+    assert t.backlog < b0, "poll() must advance the pipeline"
+    # the final half-frame needs WINDOW read-ahead and stays unscannable
+    assert t.backlog <= 9600, "poll() must drain all scannable backlog"
+    assert any(c.cell_id == cell_id for c in cells)
+
+    m = MultiTrigger(2, psr_threshold=4, transport="f32")
+    m.process_all([sig, sig])
+    for _ in range(2000):
+        m.poll()
+        if m.backlog.max() <= 9600:
+            break
+        time.sleep(0.001)
+    assert m.backlog.max() <= 9600
+    assert m.stores[0].latest_cell().cell_id == cell_id
